@@ -1,0 +1,316 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational-operator parity implementations (SURVEY.md §2.4–§2.8): the KB
+  * dictionary (S2), candidate-generation joins incl. the salted skew join
+  * (J1–J7), TF-IDF/cosine aggregations (A1–A4), majority vote (A5), windows
+  * (W1–W3) and set operations (U2–U4) — each with an exact DuckDB oracle in
+  * [[graft.SparkEntry.oracleSql]].
+  *
+  * Scale notes (the real target is a 10^12-file corpus on 1000 executors):
+  *  - J1 broadcasts the dictionary only because it is provably small here; the
+  *    production path in [[graft.kg.Candidates]] switches on measured size.
+  *  - J2 demonstrates explicit key salting (dict replicated R ways, probe side
+  *    salted by xxhash64) — the primary skew defense; AQE skew-join is backstop.
+  *  - A1–A4 relationalize TF-IDF/cosine as join+agg so Catalyst plans partial
+  *    (map-side) aggregation and whole-stage codegen end-to-end — no UDAF.
+  */
+object RelOps {
+
+  /** All tokens per doc, including stoplisted ones (TF is over the raw stream). */
+  private def docTerms(spark: SparkSession, dir: String): DataFrame =
+    DocOps.srcFiles(spark, dir)
+      .select(col("doc_id"), explode(DocOps.tokens(col("content"))).as("term"))
+
+  /** Mentions = identifier tokens minus the stoplist (same shape as E2). */
+  private def mentions(spark: SparkSession, dir: String): DataFrame =
+    docTerms(spark, dir)
+      .filter(!col("term").isin(DocOps.Stoplist: _*))
+      .withColumnRenamed("term", "surface")
+
+  // --------------------------------------------------------------------------
+  // S2: KB label dictionary — top-20 tokens by corpus frequency.
+  // --------------------------------------------------------------------------
+  def s2Kb(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = docTerms(spark, dir).groupBy(col("term")).agg(count(lit(1)).as("prior"))
+    val w = Window.orderBy(col("prior").desc, col("term").asc)
+    cnt.select(row_number().over(w).cast("long").as("entity_id"),
+               col("term").as("label"), col("prior"))
+      .filter(col("entity_id") <= 20)
+  }
+
+  /** DuckDB CTEs mirroring docTerms / mentions / kb — kept adjacent. */
+  val TermsCte: String =
+    """terms AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z_][a-z0-9_]{2,}')) AS term FROM documents)"""
+  val MentionsCte: String =
+    """mentions AS (SELECT doc_id, term AS surface FROM terms WHERE term NOT IN ('the','and','for','not'))"""
+  val KbCte: String =
+    """kb AS (SELECT entity_id, label, prior FROM (
+      |  SELECT CAST(row_number() OVER (ORDER BY prior DESC, term) AS BIGINT) AS entity_id, term AS label, prior
+      |  FROM (SELECT term, CAST(count(*) AS BIGINT) AS prior FROM terms GROUP BY term))
+      | WHERE entity_id <= 20)""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // J1: candidate-generation equi join (broadcast hash join — dict is small).
+  // --------------------------------------------------------------------------
+  def j1Candidates(spark: SparkSession, dir: String): DataFrame =
+    mentions(spark, dir)
+      .join(broadcast(s2Kb(spark, dir)), col("surface") === col("label"), "inner")
+      .select(col("doc_id"), col("surface"), col("entity_id"))
+
+  /** J2: the same join, salted R=8 ways to defuse hot-key skew. The dict side
+    * is replicated per salt; the probe side derives its salt from xxhash64 of
+    * the row (engine-internal, never in output). Result ≡ J1 by construction —
+    * the oracle is the plain-join SQL. */
+  def j2SaltedCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val R = 8
+    val salted = mentions(spark, dir)
+      .withColumn("salt", pmod(xxhash64(col("doc_id"), col("surface")), lit(R)).cast("int"))
+    val dict = s2Kb(spark, dir)
+      .withColumn("salt", explode(sequence(lit(0), lit(R - 1))))
+    salted.join(dict, salted("surface") === dict("label") && salted("salt") === dict("salt"), "inner")
+      .select(col("doc_id"), col("surface"), col("entity_id"))
+  }
+
+  /** J3: anti join — NIL mention surfaces with no KB hit. */
+  def j3NilMentions(spark: SparkSession, dir: String): DataFrame =
+    mentions(spark, dir).select(col("surface")).distinct()
+      .join(s2Kb(spark, dir), col("surface") === col("label"), "left_anti")
+
+  /** J4: semi join — docs having at least one candidate. */
+  def j4DocsWithCandidates(spark: SparkSession, dir: String): DataFrame =
+    DocOps.srcFiles(spark, dir).select(col("doc_id"), col("repo"), col("path"))
+      .join(j1Candidates(spark, dir).select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+
+  // --------------------------------------------------------------------------
+  // A1–A4: TF-IDF / cosine relationalized (join + two-phase hash agg).
+  // --------------------------------------------------------------------------
+  def a1Tf(spark: SparkSession, dir: String): DataFrame =
+    docTerms(spark, dir).groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  def a2Idf(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    val df = docTerms(spark, dir).groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    df.crossJoin(broadcast(n))
+      .select(col("term"), col("df"),
+        round(log((col("n") + 1).cast("double") / (col("df") + 1)) + 1.0, 6).as("idf"))
+  }
+
+  /** tf-idf weights per (doc, term) — unrounded, internal. */
+  private def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    val idf = docTerms(spark, dir).groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), (log((col("n") + 1).cast("double") / (col("df") + 1)) + 1.0).as("idf"))
+    a1Tf(spark, dir).join(idf, "term")
+      .select(col("doc_id"), col("term"), (col("tf") * col("idf")).as("w"))
+  }
+
+  def a3Norms(spark: SparkSession, dir: String): DataFrame =
+    tfidf(spark, dir).groupBy(col("doc_id"))
+      .agg(round(sqrt(sum(col("w") * col("w"))), 6).as("l2_norm"))
+
+  /** A4: cosine(doc tf-idf, fixed query {spark, join, data} with tf=1). */
+  def a4CosineQuery(spark: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("spark", "join", "data")
+    val w = tfidf(spark, dir)
+    // query weight = idf(term), i.e. tf=1 on the query side:
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    val idf = docTerms(spark, dir).groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), (log((col("n") + 1).cast("double") / (col("df") + 1)) + 1.0).as("idf"))
+    val q = idf.filter(col("term").isin(qTerms: _*)).select(col("term"), col("idf").as("wq"))
+    val qNorm = q.agg(sqrt(sum(col("wq") * col("wq"))).as("qn"))
+    val dNorm = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("dn"))
+    w.join(broadcast(q), "term")
+      .groupBy(col("doc_id")).agg(sum(col("w") * col("wq")).as("dot"))
+      .join(dNorm, "doc_id").crossJoin(broadcast(qNorm))
+      .select(col("doc_id"), round(col("dot") / (col("dn") * col("qn")), 4).as("cos"))
+  }
+
+  // --------------------------------------------------------------------------
+  // J5 + A4: full context-scoring join — mention tf vectors ⋈ entity context
+  // vectors on term, repartitioned by mention hash before the join (the
+  // explicit repartition the north rule mandates), then cosine per pair.
+  // --------------------------------------------------------------------------
+  /** Entity context: top-10 co-occurring terms (by count desc, term asc) over
+    * docs that contain the entity's label. */
+  def kbContext(spark: SparkSession, dir: String): DataFrame = {
+    val kb = s2Kb(spark, dir)
+    val terms = docTerms(spark, dir)
+    val docsWithLabel = terms.join(broadcast(kb), col("term") === col("label"))
+      .select(col("entity_id"), col("doc_id")).distinct()
+    val co = docsWithLabel.join(terms, "doc_id")
+      .groupBy(col("entity_id"), col("term")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("entity_id")).orderBy(col("cnt").desc, col("term").asc)
+    co.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("entity_id"), col("term"), col("cnt").cast("double").as("we"))
+  }
+
+  def j5CosineScore(spark: SparkSession, dir: String): DataFrame = {
+    val spk = spark
+    val docVec = a1Tf(spk, dir).select(col("doc_id"), col("term"), col("tf").cast("double").as("wd"))
+      .repartition(col("doc_id")) // explicit repartition by mention hash pre-join
+    val ctx = kbContext(spk, dir)
+    val dNorm = docVec.groupBy(col("doc_id")).agg(sqrt(sum(col("wd") * col("wd"))).as("dn"))
+    val eNorm = ctx.groupBy(col("entity_id")).agg(sqrt(sum(col("we") * col("we"))).as("en"))
+    docVec.join(ctx, "term")
+      .groupBy(col("doc_id"), col("entity_id")).agg(sum(col("wd") * col("we")).as("dot"))
+      .join(dNorm, "doc_id").join(broadcast(eNorm), "entity_id")
+      .select(col("doc_id"), col("entity_id"),
+              round(col("dot") / (col("dn") * col("en")), 4).as("score"))
+  }
+
+  // --------------------------------------------------------------------------
+  // W1: top-1 candidate per mention (deterministic integer ranking).
+  // --------------------------------------------------------------------------
+  def w1Top1(spark: SparkSession, dir: String): DataFrame = {
+    val tfOfLabel = a1Tf(spark, dir)
+      .join(broadcast(s2Kb(spark, dir)), col("term") === col("label"))
+      .select(col("doc_id"), col("entity_id"), col("tf"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tf").desc, col("entity_id").asc)
+    tfOfLabel.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("entity_id"), col("tf"))
+  }
+
+  /** W2 (frame spec): ±1-row moving sum per order. The ordering must be TOTAL
+    * — (l_orderkey, l_linenumber) is not unique in the testdata, and a ROWS
+    * frame over a partial order is engine-nondeterministic. */
+  def w2MovingSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+               col("l_partkey"), col("l_suppkey"))
+      .rowsBetween(-1, 1)
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              round(sum(col("l_quantity")).over(w), 2).as("moving_qty"))
+  }
+
+  /** W3: rank KB entities by lookup prior (the no-context fallback ranking). */
+  def w3RankPrior(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("prior").desc, col("label").asc)
+    s2Kb(spark, dir).select(col("entity_id"), col("label"), col("prior"),
+                            rank().over(w).cast("long").as("rnk"))
+  }
+
+  // --------------------------------------------------------------------------
+  // A5–A9 aggregations
+  // --------------------------------------------------------------------------
+  /** A5: majority vote — canonical term per lang cluster, deterministic tie-break. */
+  def a5MajorityVote(spark: SparkSession, dir: String): DataFrame = {
+    val votes = DocOps.srcFiles(spark, dir)
+      .select(col("lang"), explode(DocOps.tokens(col("content"))).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("term").asc)
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("lang"), col("term").as("top_term"), col("cnt"))
+  }
+
+  /** A6: hot-key frequency top-k (feeds the J2 salting hot-set). */
+  def a6HotKeys(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("cnt").desc, col("term").asc)
+    docTerms(spark, dir).groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("term"), col("cnt"))
+  }
+
+  /** A7: lineage/metrics rollup per repo (per-partition variant is in graft.kg). */
+  def a7LineageRollup(spark: SparkSession, dir: String): DataFrame =
+    DocOps.srcFiles(spark, dir)
+      .select(col("repo"), col("path"), explode(DocOps.tokens(col("content"))).as("term"))
+      .groupBy(col("repo"))
+      .agg(countDistinct(col("path")).as("files"), count(lit(1)).as("token_rows"))
+
+  /** A8: distinct (dedup across extractor overlap). */
+  def a8Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("lang"), col("source")).distinct()
+
+  /** A9: conditional aggregation counters in one pass. */
+  def a9Counters(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_r"),
+      sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("l_quantity") > 45, 1L).otherwise(0L)).as("hi_qty"))
+
+  // --------------------------------------------------------------------------
+  // J6/J7 evaluation + invariant joins
+  // --------------------------------------------------------------------------
+  /** J6: precision/recall of emitted top-1 annotations vs a gold subset
+    * (entities 1..10 ranked by label tf) via full-outer join + conditional agg. */
+  def j6Eval(spark: SparkSession, dir: String): DataFrame = {
+    val emitted = w1Top1(spark, dir).select(col("doc_id"), col("entity_id"))
+    val tfOfLabel = a1Tf(spark, dir)
+      .join(broadcast(s2Kb(spark, dir).filter(col("entity_id") <= 10)), col("term") === col("label"))
+      .select(col("doc_id"), col("entity_id"), col("tf"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tf").desc, col("entity_id").asc)
+    val gold = tfOfLabel.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("entity_id"))
+    val j = emitted.as("e").join(gold.as("g"),
+      col("e.doc_id") === col("g.doc_id") && col("e.entity_id") === col("g.entity_id"), "full_outer")
+    j.agg(
+      sum(when(col("e.doc_id").isNotNull && col("g.doc_id").isNotNull, 1L).otherwise(0L)).as("matched"),
+      sum(when(col("e.doc_id").isNotNull, 1L).otherwise(0L)).as("emitted_cnt"),
+      sum(when(col("g.doc_id").isNotNull, 1L).otherwise(0L)).as("gold_cnt"))
+      .select(col("matched"), col("emitted_cnt"), col("gold_cnt"),
+        round(col("matched").cast("double") / col("emitted_cnt"), 6).as("precision"),
+        round(col("matched").cast("double") / col("gold_cnt"), 6).as("recall"))
+  }
+
+  /** J7: per-row sha256 invariant — recomputed vs snapshot hashes; must be 0. */
+  def j7ShaCheck(spark: SparkSession, dir: String): DataFrame = {
+    val a = DocOps.f3Sha256(spark, dir).withColumnRenamed("sha", "sha_a")
+    val b = DocOps.srcFiles(spark, dir)
+      .select(col("doc_id"), sha2(col("content"), 256).as("sha_b"))
+    a.join(b, "doc_id").filter(col("sha_a") =!= col("sha_b"))
+      .agg(count(lit(1)).as("mismatches"))
+  }
+
+  // --------------------------------------------------------------------------
+  // U2–U4 set operations, O3 global top-k
+  // --------------------------------------------------------------------------
+  /** U2: resume pending set — all repos except repos already done (those with an 'en' doc). */
+  def u2ExceptResume(spark: SparkSession, dir: String): DataFrame = {
+    val all = DocOps.srcFiles(spark, dir).select(col("repo")).distinct()
+    val done = DocOps.srcFiles(spark, dir).filter(col("lang") === "en").select(col("repo")).distinct()
+    all.except(done)
+  }
+
+  /** U3: sha-set equality both ways (both counts must be 0). */
+  def u3ShaExcept(spark: SparkSession, dir: String): DataFrame = {
+    val a = DocOps.f3Sha256(spark, dir).select(col("sha"))
+    val b = DocOps.srcFiles(spark, dir).select(sha2(col("content"), 256).as("sha"))
+    val ab = a.except(b).agg(count(lit(1)).as("c")).select(col("c").as("a_minus_b"))
+    val ba = b.except(a).agg(count(lit(1)).as("c")).select(col("c").as("b_minus_a"))
+    ab.crossJoin(ba)
+  }
+
+  /** U4: intersect — sources appearing both in 'en' docs and in long docs. */
+  def u4Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.documents(spark, dir).filter(col("lang") === "en").select(col("source")).distinct()
+    val b = Tables.documents(spark, dir).filter(col("n_chars") > 300).select(col("source")).distinct()
+    a.intersect(b)
+  }
+
+  /** O3: global top-k → TakeOrderedAndProject (no full sort at scale). */
+  def o3GlobalTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** Classic 3-way join + agg (customer ⋈ orders ⋈ lineitem). */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("cnt"))
+}
