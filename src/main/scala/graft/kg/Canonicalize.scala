@@ -1,0 +1,49 @@
+package graft.kg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Majority-vote canonicalization + triple materialization (SURVEY.md A5, S5).
+  *
+  * Vote tallies are two-phase hash aggregations (HashAggregate(partial) →
+  * Exchange → HashAggregate(final)); the argmax uses max over a struct with a
+  * unique tie-break key, so it is deterministic AND keeps partial aggregation
+  * (no UDAF, no collect_list).
+  */
+object Canonicalize {
+
+  /** A5: per (repo, kind, norm) cluster, elect the majority entity.
+    * Returns cluster → (entity_id, conf = vote share). */
+  def vote(linked: DataFrame): DataFrame = {
+    val tallies = linked.groupBy(col("repo"), col("kind"), col("norm"), col("entity_id"))
+      .agg(count(lit(1)).as("cnt"))
+    tallies.groupBy(col("repo"), col("kind"), col("norm"))
+      .agg(max(struct(col("cnt"), (-col("entity_id")).as("nid"), col("entity_id").as("eid"))).as("m"),
+           sum(col("cnt")).as("total"))
+      .select(col("repo"), col("kind"), col("norm"),
+              col("m.eid").as("entity_id"),
+              round(col("m.cnt").cast("double") / col("total"), 6).as("conf"))
+  }
+
+  /** Join mention-level links (top-1 per mention) back to mentions and apply
+    * the cluster-canonical entity. */
+  def canonicalMentions(mentions: DataFrame, top1: DataFrame): DataFrame = {
+    val linked = mentions.join(top1.select(col("mention_id"), col("entity_id")), Seq("mention_id"))
+    val canon = vote(linked)
+    linked.drop("entity_id")
+      .join(canon, Seq("repo", "kind", "norm"))
+  }
+
+  /** S5 projection: (subj, pred, obj) triples with provenance. */
+  def triples(canonical: DataFrame): DataFrame =
+    canonical.select(
+      concat(lit("code:"), col("repo"), lit("/"), col("path"),
+             lit("@"), col("commit"), lit("#L"), col("line").cast("string")).as("subj"),
+      when(col("kind") === "import", lit("imports"))
+        .when(col("kind") === "doccomment", lit("documents"))
+        .otherwise(lit("mentions")).as("pred"),
+      concat(lit("kb:"), col("entity_id").cast("string")).as("obj"),
+      col("conf"),
+      col("repo").as("src_repo"), col("path").as("src_path"), col("commit").as("src_commit"))
+      .dropDuplicates("subj", "pred", "obj")
+}

@@ -1,0 +1,35 @@
+package graft.kg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Evaluation harness (SURVEY.md J6/A9): precision/recall of emitted triples
+  * vs the gold annotations, via one full-outer join + conditional aggregation.
+  */
+object Eval {
+
+  /** Gold rows → the triple key space (same construction as Canonicalize.triples). */
+  def goldTriples(gold: DataFrame): DataFrame =
+    gold.select(
+      concat(lit("code:"), col("repo"), lit("/"), col("path"),
+             lit("@"), col("commit"), lit("#L"), col("line").cast("string")).as("subj"),
+      when(col("kind") === "import", lit("imports"))
+        .when(col("kind") === "doccomment", lit("documents"))
+        .otherwise(lit("mentions")).as("pred"),
+      concat(lit("kb:"), col("entity_id").cast("string")).as("obj"))
+      .dropDuplicates("subj", "pred", "obj")
+
+  /** One row: matched / emitted / gold counts + precision + recall. */
+  def precisionRecall(emitted: DataFrame, gold: DataFrame): DataFrame = {
+    val e = emitted.select(col("subj"), col("pred"), col("obj")).dropDuplicates()
+      .withColumn("e", lit(1))
+    val g = goldTriples(gold).withColumn("g", lit(1))
+    e.join(g, Seq("subj", "pred", "obj"), "full_outer")
+      .agg(sum(when(col("e").isNotNull && col("g").isNotNull, 1L).otherwise(0L)).as("matched"),
+           sum(when(col("e").isNotNull, 1L).otherwise(0L)).as("emitted_cnt"),
+           sum(when(col("g").isNotNull, 1L).otherwise(0L)).as("gold_cnt"))
+      .select(col("matched"), col("emitted_cnt"), col("gold_cnt"),
+              round(col("matched").cast("double") / col("emitted_cnt"), 6).as("precision"),
+              round(col("matched").cast("double") / col("gold_cnt"), 6).as("recall"))
+  }
+}

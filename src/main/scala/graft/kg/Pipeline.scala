@@ -1,0 +1,120 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.{ParquetTableIO, TableIO}
+
+/** The flagship end-to-end pipeline (SURVEY.md §3.1):
+  *
+  *   ingest → extract → candidates → score → canonicalize → triples → eval
+  *
+  * Every stage checkpoints through the [[TableIO]] seam with an atomic
+  * commit, and appends per-partition lineage rows AFTER the data commit —
+  * so `--resume` skips any stage whose lineage says committed and whose
+  * checkpoint exists, and a crash between data-write and lineage-append
+  * simply re-runs that stage idempotently (north_rule: "resumable from
+  * checkpoint with per-partition lineage + metrics").
+  */
+final class Pipeline(io: TableIO, runId: String, resume: Boolean = false) {
+
+  val LineageTable = "_lineage"
+
+  private def committed(spark: SparkSession, stage: String): Boolean =
+    resume && io.exists(spark, LineageTable) && io.exists(spark, stage) && {
+      import spark.implicits._
+      io.read(spark, LineageTable)
+        .filter(col("stage") === stage && col("status") === "committed")
+        .limit(1).count() > 0
+    }
+
+  /** Run (or resume) one stage: materialize df → checkpoint, lineage last. */
+  def stage(spark: SparkSession, name: String, df: => DataFrame,
+            partitionBy: Seq[String] = Nil): DataFrame = {
+    if (committed(spark, name)) {
+      io.read(spark, name)
+    } else {
+      val t0 = System.nanoTime()
+      io.write(df, name, partitionBy)
+      val out = io.read(spark, name)
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      val lineage = out.groupBy(spark_partition_id().as("partition_id"))
+        .agg(count(lit(1)).as("rows_out"))
+        .select(lit(runId).as("run_id"), lit(name).as("stage"),
+                col("partition_id"), col("rows_out"),
+                lit("committed").as("status"), lit(wallMs).as("wall_ms"))
+      io.append(lineage, LineageTable)
+      out
+    }
+  }
+
+  /** Full run. Returns the triples DataFrame (read back from the sink). */
+  def run(spark: SparkSession, src: DataFrame, kb: DataFrame, kbCtx: DataFrame,
+          snapshot: Option[DataFrame] = None,
+          k: Int = 2, saltR: Int = 8, hotThreshold: Long = 10000L,
+          broadcastDictMaxRows: Long = 1000000L): DataFrame = {
+
+    // Stage 0: ingest + per-row sha256 invariant vs the source snapshot (F3/J7)
+    val files = stage(spark, "stage0_files",
+      src.withColumn("sha256", sha2(col("content"), 256)), Seq("lang"))
+    snapshot.foreach { snap =>
+      val mismatches = files.select(col("repo"), col("path"), col("commit"), col("sha256"))
+        .join(snap.withColumnRenamed("sha256", "sha_expected"), Seq("repo", "path", "commit"))
+        .filter(col("sha256") =!= col("sha_expected"))
+        .count()
+      require(mismatches == 0, s"sha256 invariant violated: $mismatches rows")
+    }
+
+    // Stage 1: extraction
+    val mentions = stage(spark, "stage1_mentions", Extract.mentions(files, k))
+
+    // Stage 2: candidate generation (broadcast-vs-salted decided on measured size)
+    val dict = Candidates.dictionary(kb)
+    val dictRows = dict.count()
+    val cands = stage(spark, "stage2_candidates",
+      Candidates.candidates(mentions, dict, broadcastDict = dictRows <= broadcastDictMaxRows,
+                            saltR = saltR, hotThreshold = hotThreshold))
+
+    // Stage 3: context scoring + top-1
+    val top1 = stage(spark, "stage3_top1",
+      Scoring.top1(Scoring.score(mentions, cands, kbCtx)))
+
+    // Stage 4: canonicalize + materialize triples, partitioned by predicate
+    stage(spark, "stage4_triples",
+      Canonicalize.triples(Canonicalize.canonicalMentions(mentions, top1)),
+      Seq("pred"))
+  }
+}
+
+/** spark-submit entry point: `graft.kg.Pipeline nFiles ckptDir [--resume runId]`. */
+object Pipeline {
+  def main(args: Array[String]): Unit = {
+    val nFiles = if (args.length > 0) args(0).toInt else 2000
+    val ckpt = if (args.length > 1) args(1) else "target/pipeline_ckpt"
+    val resume = args.contains("--resume")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-kg-pipeline")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val pipe = new Pipeline(new ParquetTableIO(ckpt), runId = s"run-$nFiles", resume = resume)
+      val t0 = System.nanoTime()
+      val triples = pipe.run(spark,
+        CorpusGen.srcFiles(spark, nFiles).toDF(),
+        CorpusGen.kbEntries(spark).toDF(),
+        CorpusGen.kbContexts(spark).toDF(),
+        snapshot = Some(CorpusGen.fileShas(spark, nFiles).toDF()))
+      val n = triples.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val pr = Eval.precisionRecall(triples, CorpusGen.gold(spark, nFiles).toDF()).collect()(0)
+      println(f"triples=$n wall=$sec%.2fs thr=${n / sec}%.0f triples/sec " +
+              f"precision=${pr.getAs[Double]("precision")}%.4f recall=${pr.getAs[Double]("recall")}%.4f")
+    } finally spark.stop()
+  }
+}
