@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{DocOps, RelOps}
+import graft.ops.{Dedup, DocOps, Multimodal, RelOps, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -62,6 +62,37 @@ object SparkEntry {
     "u4_intersect"       -> RelOps.u4Intersect _,
     "o3_global_topk"     -> RelOps.o3GlobalTopK _,
     "q3_join_agg"        -> RelOps.q3JoinAgg _,
+    // training-data pipeline: deduplication
+    "dedup_exact"        -> Dedup.exact _,
+    "dedup_minhash_sig"  -> Dedup.minhashSignatures _,
+    "dedup_minhash_pairs" -> Dedup.minhashPairs _,
+    "dedup_simhash"      -> Dedup.simhash _,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
+    "dedup_embcos_pairs" -> Similarity.embeddingCosinePairs _,
+    // similarity search
+    "sim_brute_topk"     -> ((s: SparkSession, dir: String) => Similarity.bruteForceTopK(s, dir)),
+    "sim_lsh_buckets"    -> Similarity.lshBuckets _,
+    "sim_lsh_topk"       -> ((s: SparkSession, dir: String) => Similarity.lshTopK(s, dir)),
+    // text analysis
+    "text_langid"        -> TextAnalysis.langId _,
+    "text_quality"       -> TextAnalysis.quality _,
+    "text_tokens"        -> TextAnalysis.tokenCounts _,
+    "text_fingerprint"   -> TextAnalysis.fingerprint _,
+    // multimodal plumbing (decode step stubbed — see Multimodal scaladoc)
+    "mm_binary_meta"     -> Multimodal.binaryMeta _,
+    "mm_decode_stub"     -> ((s: SparkSession, dir: String) =>
+      Multimodal.fakeDecode(Multimodal.binaryMeta(s, dir))),
+    // the KG pipeline itself over the synthetic corpus (rows-only check;
+    // its oracle is the independent single-threaded one in the test suite)
+    "kg_pipeline_synthetic" -> ((s: SparkSession, dir: String) => {
+      val src = graft.kg.CorpusGen.srcFiles(s, 300).toDF()
+      val mentions = graft.kg.Extract.mentions(src)
+      val dict = graft.kg.Candidates.dictionary(graft.kg.CorpusGen.kbEntries(s).toDF())
+      val cands = graft.kg.Candidates.candidates(mentions, dict, broadcastDict = true)
+      val top1 = graft.kg.Scoring.top1(
+        graft.kg.Scoring.score(mentions, cands, graft.kg.CorpusGen.kbContexts(s).toDF()))
+      graft.kg.Canonicalize.triples(graft.kg.Canonicalize.canonicalMentions(mentions, top1))
+    }),
     // classic agg baseline
     "q1_agg" -> ((s: SparkSession, dir: String) =>
       Tables.lineitem(s, dir)
@@ -76,6 +107,17 @@ object SparkEntry {
   private val T = RelOps.TermsCte
   private val M = RelOps.MentionsCte
   private val K = RelOps.KbCte
+  /** Shared 3-word-shingle CTE chain (documents as the corpus). */
+  private val Shingles =
+    """parts AS (SELECT doc_id, string_split(text, ' ') AS p FROM documents),
+      |wpos AS (SELECT doc_id, pos, word FROM (SELECT doc_id, CAST(unnest(range(len(p))) AS INT) AS pos, unnest(p) AS word FROM parts) WHERE length(word) > 0),
+      |shv AS (SELECT doc_id, shingle FROM (
+      |  SELECT doc_id, word || ' ' || lead(word,1) OVER win || ' ' || lead(word,2) OVER win AS shingle
+      |  FROM wpos WINDOW win AS (PARTITION BY doc_id ORDER BY pos)) WHERE shingle IS NOT NULL)""".stripMargin
+  /** Shared relational embedding CTE (vec exploded to (vec_id, pos, x)). */
+  private val EmbEx =
+    """ex AS (SELECT vec_id, CAST(unnest(range(len(embedding))) AS INT) AS pos, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY vec_id)""".stripMargin
   /** Shared tf-idf CTE chain (documents as the corpus). */
   private val TfIdf =
     s"""$T,
@@ -277,6 +319,129 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS cnt
         |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS rep_doc, CAST(count(*) AS BIGINT) AS cnt
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_minhash_sig" ->
+      s"""WITH $Shingles,
+         |seeds AS (SELECT CAST(unnest(range(8)) AS INT) AS seed)
+         |SELECT doc_id, seed, min(md5(shingle || '#' || CAST(seed AS VARCHAR))) AS minhash
+         |FROM shv CROSS JOIN seeds GROUP BY doc_id, seed""".stripMargin,
+    "dedup_minhash_pairs" ->
+      s"""WITH $Shingles,
+         |seeds AS (SELECT CAST(unnest(range(8)) AS INT) AS seed),
+         |mh AS (SELECT doc_id, seed, min(md5(shingle || '#' || CAST(seed AS VARCHAR))) AS minhash
+         |       FROM shv CROSS JOIN seeds GROUP BY doc_id, seed),
+         |sigs AS (SELECT doc_id, (seed >> 1) AS band,
+         |           min(CASE WHEN seed % 2 = 0 THEN minhash END) || '|' || min(CASE WHEN seed % 2 = 1 THEN minhash END) AS sig
+         |         FROM mh GROUP BY doc_id, (seed >> 1))
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $T,
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY doc_id, term),
+         |b AS (SELECT doc_id, bit, sum(CASE WHEN substr(md5(term), bit + 1, 1) >= '8' THEN tf ELSE -tf END) AS s
+         |      FROM tf CROSS JOIN (SELECT CAST(unnest(range(32)) AS INT) AS bit) GROUP BY doc_id, bit)
+         |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM b GROUP BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $Shingles,
+         |sets AS (SELECT DISTINCT doc_id, shingle FROM shv),
+         |cnts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sets GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.n AS na, b.n AS nb
+         |          FROM cnts a JOIN cnts b ON b.doc_id = a.doc_id + 1),
+         |inter AS (SELECT x.doc_id AS d1, CAST(count(*) AS BIGINT) AS i
+         |          FROM sets x JOIN sets y ON y.doc_id = x.doc_id + 1 AND x.shingle = y.shingle GROUP BY x.doc_id)
+         |SELECT d1, d2, round(CAST(coalesce(i, 0) AS DOUBLE) / (na + nb - coalesce(i, 0)), 6) AS jaccard
+         |FROM pairs LEFT JOIN inter USING (d1)""".stripMargin,
+    "dedup_embcos_pairs" ->
+      s"""WITH exb AS (SELECT vec_id, vec_id % 50 AS b, CAST(unnest(range(len(embedding))) AS INT) AS pos, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+         |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM exb GROUP BY vec_id),
+         |dots AS (SELECT a.vec_id AS v1, c.vec_id AS v2, sum(a.x * c.x) AS dot
+         |         FROM exb a JOIN exb c ON a.pos = c.pos AND a.b = c.b AND a.vec_id < c.vec_id
+         |         GROUP BY a.vec_id, c.vec_id)
+         |SELECT v1, v2, round(dot / (na.n * nb.n), 4) AS cos
+         |FROM dots JOIN norms na ON v1 = na.vec_id JOIN norms nb ON v2 = nb.vec_id""".stripMargin,
+    "sim_brute_topk" ->
+      s"""WITH $EmbEx,
+         |dots AS (SELECT qe.vec_id AS q_id, e.vec_id AS vec_id, sum(qe.x * e.x) AS dot
+         |         FROM ex qe JOIN ex e ON qe.pos = e.pos AND qe.vec_id < 5 AND e.vec_id <> qe.vec_id
+         |         GROUP BY qe.vec_id, e.vec_id),
+         |sc AS (SELECT dots.q_id, dots.vec_id, round(dot / (nq.n * nv.n), 6) AS cos6
+         |       FROM dots JOIN norms nq ON dots.q_id = nq.vec_id JOIN norms nv ON dots.vec_id = nv.vec_id),
+         |r AS (SELECT q_id, vec_id, cos6, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, vec_id) AS INT) AS rnk FROM sc)
+         |SELECT q_id, vec_id, rnk, round(cos6, 4) AS cos FROM r WHERE rnk <= 10""".stripMargin,
+    "sim_lsh_buckets" ->
+      s"""WITH $EmbEx,
+         |coef AS (SELECT p.plane, d.dim, CASE WHEN substr(md5(CAST(p.plane AS VARCHAR) || '_' || CAST(d.dim AS VARCHAR)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END AS coef
+         |         FROM (SELECT CAST(unnest(range(8)) AS INT) AS plane) p CROSS JOIN (SELECT CAST(unnest(range(64)) AS INT) AS dim) d),
+         |sg AS (SELECT vec_id, plane, sum(x * coef) AS s FROM ex JOIN coef ON ex.pos = coef.dim GROUP BY vec_id, plane)
+         |SELECT vec_id, CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT) AS bucket
+         |FROM sg GROUP BY vec_id""".stripMargin,
+    "sim_lsh_topk" ->
+      s"""WITH $EmbEx,
+         |coef AS (SELECT p.plane, d.dim, CASE WHEN substr(md5(CAST(p.plane AS VARCHAR) || '_' || CAST(d.dim AS VARCHAR)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END AS coef
+         |         FROM (SELECT CAST(unnest(range(8)) AS INT) AS plane) p CROSS JOIN (SELECT CAST(unnest(range(64)) AS INT) AS dim) d),
+         |sg AS (SELECT vec_id, plane, sum(x * coef) AS s FROM ex JOIN coef ON ex.pos = coef.dim GROUP BY vec_id, plane),
+         |bk AS (SELECT vec_id, CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT) AS bucket FROM sg GROUP BY vec_id),
+         |q AS (SELECT vec_id AS q_id, bucket FROM bk WHERE vec_id < 5),
+         |cand AS (SELECT q.q_id, v.vec_id FROM q JOIN bk v ON v.bucket = q.bucket AND v.vec_id <> q.q_id),
+         |dots AS (SELECT c.q_id, c.vec_id, sum(a.x * b.x) AS dot
+         |         FROM cand c JOIN ex a ON a.vec_id = c.q_id JOIN ex b ON b.vec_id = c.vec_id AND b.pos = a.pos
+         |         GROUP BY c.q_id, c.vec_id),
+         |sc AS (SELECT dots.q_id, dots.vec_id, round(dot / (nq.n * nv.n), 6) AS cos6
+         |       FROM dots JOIN norms nq ON dots.q_id = nq.vec_id JOIN norms nv ON dots.vec_id = nv.vec_id),
+         |r AS (SELECT q_id, vec_id, cos6, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, vec_id) AS INT) AS rnk FROM sc)
+         |SELECT q_id, vec_id, rnk, round(cos6, 4) AS cos FROM r WHERE rnk <= 5""".stripMargin,
+    "text_langid" ->
+      s"""WITH $T,
+         |sc AS (SELECT doc_id,
+         |         CAST(sum(CASE WHEN term IN ('spark','data','query') THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         |         CAST(sum(CASE WHEN term IN ('join','merge','sort') THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         |         CAST(sum(CASE WHEN term IN ('window','stream','batch') THEN 1 ELSE 0 END) AS BIGINT) AS s3
+         |       FROM terms GROUP BY doc_id),
+         |j AS (SELECT d.doc_id, coalesce(s1, 0) AS s1, coalesce(s2, 0) AS s2, coalesce(s3, 0) AS s3
+         |      FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)
+         |SELECT doc_id, s1, s2, s3,
+         |  CASE WHEN s1 = 0 AND s2 = 0 AND s3 = 0 THEN 'und'
+         |       WHEN s1 >= s2 AND s1 >= s3 THEN 'l1'
+         |       WHEN s2 >= s3 THEN 'l2' ELSE 'l3' END AS langid
+         |FROM j""".stripMargin,
+    "text_quality" ->
+      """WITH ws AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word FROM documents),
+        |tok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |          CAST(sum(length(word)) AS BIGINT) AS sum_len,
+        |          CAST(sum(CASE WHEN lower(word) IN ('the','a','and','of','to') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+        |        FROM ws GROUP BY doc_id),
+        |q0 AS (SELECT d.doc_id, CAST(length(text) AS INT) AS n_chars, n_tokens,
+        |         (sum_len * 10000) // n_tokens AS avg_token_len_e4,
+        |         (stop_hits * 1000000) // n_tokens AS stopword_ppm,
+        |         (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) * 1000000) // length(text) AS alpha_ppm
+        |       FROM documents d LEFT JOIN tok ON d.doc_id = tok.doc_id)
+        |SELECT doc_id, n_chars, n_tokens, avg_token_len_e4, stopword_ppm, alpha_ppm,
+        |  (alpha_ppm + (1000000 - stopword_ppm)) // 2 AS quality_ppm
+        |FROM q0""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS bpe_ish_tokens
+        |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      s"""WITH $Shingles
+         |SELECT doc_id, min(md5(shingle)) AS fingerprint, CAST(count(DISTINCT shingle) AS BIGINT) AS n_shingles
+         |FROM shv GROUP BY doc_id""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |  lower(substr(hex(encode(text)), 1, 32)) AS head_hex,
+        |  CAST(1 + octet_length(encode(text)) % 640 AS INT) AS fake_width,
+        |  CAST(1 + (octet_length(encode(text)) * 7) % 480 AS INT) AS fake_height,
+        |  3 AS channels,
+        |  round(CAST(octet_length(encode(text)) % 256 AS DOUBLE) / 255.0, 6) AS fake_mean_pixel
+        |FROM documents""".stripMargin,
+    "mm_decode_stub" ->
+      """WITH m AS (SELECT doc_id, lower(substr(hex(encode(text)), 1, 32)) AS head_hex FROM documents)
+        |SELECT doc_id, CAST(octet_length(encode(head_hex)) AS INT) AS payload_len,
+        |  CAST(ascii(substr(head_hex, 1, 1)) + ascii(substr(head_hex, 2, 1)) + ascii(substr(head_hex, 3, 1)) + ascii(substr(head_hex, 4, 1)) AS DOUBLE) / 1020.0 AS fake_feature
+        |FROM m""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
         |  round(sum(l_extendedprice * (1.0 - l_discount)),2) AS sum_disc_price,

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Large-scale training-data deduplication operators over the `documents`
+  * table: exact (hash-groupBy), MinHash+LSH (shingle → minhash → band →
+  * bucket join), SimHash, and n-gram Jaccard. The embedding-cosine near-dup
+  * variant lives in [[Similarity]].
+  *
+  * All hashes are md5 (present and bit-identical in both Spark and DuckDB) so
+  * every operator has an exact SQL oracle; the production engine would swap
+  * xxhash64 for md5 (cheaper, same plumbing).
+  *
+  * Scale notes: every stage is groupBy/join on pre-hashed keys — no
+  * driver-side state, no UDFs; band signatures keep the LSH self-join's
+  * key cardinality high (no mega-groups), and at 100 TB the band join
+  * would additionally salt its hottest buckets like kg.Candidates.
+  */
+object Dedup {
+
+  /** 3-word shingles per document (word order preserved). */
+  def shingles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"), col("pos"),
+              concat(col("word"), lit(" "), lead(col("word"), 1).over(w),
+                     lit(" "), lead(col("word"), 2).over(w)).as("shingle"))
+      .filter(col("shingle").isNotNull)
+  }
+
+  /** Exact dedup: content-hash groups with a deterministic representative. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("cnt"))
+
+  /** MinHash signatures: 8 permutations simulated as min(md5(shingle#seed)). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir)
+      .withColumn("seed", explode(sequence(lit(0), lit(7))))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(md5(concat(col("shingle"), lit("#"), col("seed").cast("string")))).as("minhash"))
+
+  /** LSH banding: 4 bands × 2 rows; near-dup candidate pairs share a band
+    * signature. The pair join is on (band, signature) — high-cardinality keys,
+    * so the self-join cannot hot-spot. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(spark, dir)
+      .withColumn("band", shiftright(col("seed"), 1))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(concat_ws("|",
+        min(when(col("seed") % 2 === 0, col("minhash"))),
+        min(when(col("seed") % 2 === 1, col("minhash")))).as("sig"))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** SimHash (32-bit): per-term md5 hex high-bits weighted by tf. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(DocOps.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val bits = tf
+      .withColumn("bit", explode(sequence(lit(0), lit(31))))
+      .withColumn("v",
+        when(md5(col("term")).substr(col("bit") + 1, lit(1)) >= "8", col("tf"))
+          .otherwise(-col("tf")))
+      .groupBy(col("doc_id"), col("bit")).agg(sum(col("v")).as("s"))
+    bits.groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, pow(lit(2), col("bit")).cast("long")).otherwise(0L)).as("simhash"))
+  }
+
+  /** n-gram Jaccard similarity for consecutive-id candidate pairs. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sets = shingles(spark, dir).select(col("doc_id"), col("shingle")).distinct()
+    val counts = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = counts.as("a").join(counts.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+              col("a.n").as("na"), col("b.n").as("nb"))
+    val inter = sets.as("x").join(sets.as("y"),
+        col("y.doc_id") === col("x.doc_id") + 1 && col("x.shingle") === col("y.shingle"))
+      .groupBy(col("x.doc_id").as("d1")).agg(count(lit(1)).as("inter"))
+    pairs.join(inter, Seq("d1"), "left_outer")
+      .select(col("d1"), col("d2"),
+        round(coalesce(col("inter"), lit(0L)).cast("double") /
+              (col("na") + col("nb") - coalesce(col("inter"), lit(0L))), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: media (image/audio/video) as opaque `binary`
+  * columns with typed metadata.
+  *
+  * The real decode/feature-extract step needs native media libraries that do
+  * not exist in this container — it is STUBBED as a deterministic fake
+  * ([[fakeDecode]]) with the Spark-side plumbing kept real: binary column
+  * construction, per-row metadata schema, batched partition-level processing
+  * shape, and pushdown-friendly projections. Swapping in a real decoder means
+  * replacing ONLY the marked expressions (or, for a Python pipeline, an
+  * equivalent `mapInPandas` batch UDF with the same schema).
+  */
+object Multimodal {
+
+  /** Binary "media" column + metadata. `encode(text)` stands in for real
+    * media bytes; everything downstream treats it as opaque binary. */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
+    val b = encode(col("text"), "UTF-8")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(b).as("byte_len"),
+      lower(substring(hex(b), 1, 32)).as("head_hex"),
+      // ---- STUB: deterministic fake decode (no media libs in container) ----
+      (lit(1) + length(b) % 640).as("fake_width"),
+      (lit(1) + (length(b) * 7) % 480).as("fake_height"),
+      lit(3).as("channels"),
+      round((length(b) % 256).cast("double") / 255.0, 6).as("fake_mean_pixel"))
+  }
+
+  /** Batched decode shape (the mapInPandas equivalent): processes whole
+    * partitions of binary payloads at once. The per-batch body is the stub;
+    * the batching, schema and distribution are the real plumbing. */
+  def fakeDecode(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("doc_id"), encode(col("head_hex"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // STUB: a real implementation would hand `batch` (an iterator of
+        // payloads) to a native decoder; the deterministic fake derives
+        // "features" from the byte lengths.
+        batch.map { case (id, bytes) =>
+          (id, bytes.length, bytes.take(4).map(_.toInt & 0xff).sum.toDouble / 1020.0)
+        }
+      }
+      .toDF("doc_id", "payload_len", "fake_feature")
+  }
+}

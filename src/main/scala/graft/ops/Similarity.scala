@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (Array[Float] column).
+  *
+  * The dot products run as `zip_with` + `aggregate` higher-order functions on
+  * the array column — single-pass, codegen-friendly, no explode of 64 rows per
+  * vector on the Spark side (the oracle SQL uses the relational unnest form;
+  * both round to 4 decimals so the float sum order cannot matter).
+  *
+  * Scale paths:
+  *  - brute-force top-k: query set broadcast against the full table — the
+  *    baseline, linear scan, embarrassingly parallel;
+  *  - LSH-bucketed ANN: 8 deterministic hyperplanes (signs derived from
+  *    md5(plane_dim)) → 256 buckets → candidate join restricted to equal
+  *    buckets. At 10^12 rows this is the path: bucket id is the shuffle key
+  *    and each bucket's candidate set is small and independent. An IVF
+  *    variant would swap the hyperplane signature for a learned centroid id —
+  *    same plumbing.
+  */
+object Similarity {
+
+  /** Embeddings with double-cast arrays and a coarse pair-bucketing column. */
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"),
+      (col("vec_id") % 50).as("b"))
+
+  private def dot(a: Column, bCol: Column): Column =
+    aggregate(zip_with(a, bCol, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def l2(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Embedding-cosine near-dup pairs within coarse buckets (dedup operator). */
+  def embeddingCosinePairs(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    v.as("a").join(v.as("b"), col("a.b") === col("b.b") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        round(dot(col("a.e"), col("b.e")) / (l2(col("a.e")) * l2(col("b.e"))), 4).as("cos"))
+  }
+
+  /** Brute-force cosine top-k: queries (vec_id < 5) broadcast vs all vectors. */
+  def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val v = vecs(spark, dir).drop("b")
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qe"), col("e")) / (l2(col("qe")) * l2(col("e"))), 6).as("cos6"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rnk"), round(col("cos6"), 4).as("cos"))
+  }
+
+  /** Deterministic ±1 hyperplane coefficients: coef(plane, dim) from md5. */
+  private def planes(spark: SparkSession, nPlanes: Int, dims: Int): DataFrame =
+    spark.range(nPlanes).toDF("plane").crossJoin(spark.range(dims).toDF("dim"))
+      .select(col("plane").cast("int").as("plane"), col("dim").cast("int").as("dim"),
+        when(md5(concat(col("plane").cast("string"), lit("_"), col("dim").cast("string")))
+               .substr(1, 1) >= "8", lit(1.0)).otherwise(lit(-1.0)).as("coef"))
+
+  /** LSH bucket signature per vector: 8 hyperplane sign bits → bucket id. */
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
+    val s = ex.join(broadcast(planes(spark, 8, 64)), "dim")
+      .groupBy(col("vec_id"), col("plane")).agg(sum(col("x") * col("coef")).as("s"))
+    s.groupBy(col("vec_id"))
+      .agg(sum(when(col("s") >= 0, pow(lit(2), col("plane")).cast("long")).otherwise(0L)).as("bucket"))
+  }
+
+  /** ANN: top-k within the query's LSH bucket (the scale path). */
+  def lshTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val v = vecs(spark, dir).drop("b").join(lshBuckets(spark, dir), "vec_id")
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("bucket"))
+    val cand = v.join(q, Seq("bucket")).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qe"), col("e")) / (l2(col("qe")) * l2(col("e"))), 6).as("cos6"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("vec_id").asc)
+    cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rnk"), round(col("cos6"), 4).as("cos"))
+  }
+}

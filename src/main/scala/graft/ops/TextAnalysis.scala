@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * language ID (marker-token heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex) and document fingerprinting. Pure column
+  * expressions; exact DuckDB oracles.
+  */
+object TextAnalysis {
+
+  private val L1 = Seq("spark", "data", "query")
+  private val L2 = Seq("join", "merge", "sort")
+  private val L3 = Seq("window", "stream", "batch")
+  private val Stop = Seq("the", "a", "and", "of", "to")
+
+  /** Language ID: argmax of per-language marker hits, deterministic ties. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = docs.select(col("doc_id"), explode(DocOps.tokens(col("text"))).as("term"))
+    val scores = terms.groupBy(col("doc_id")).agg(
+      sum(when(col("term").isin(L1: _*), 1L).otherwise(0L)).as("s1"),
+      sum(when(col("term").isin(L2: _*), 1L).otherwise(0L)).as("s2"),
+      sum(when(col("term").isin(L3: _*), 1L).otherwise(0L)).as("s3"))
+    docs.select(col("doc_id")).join(scores, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("s1"), lit(0L)).as("s1"),
+        coalesce(col("s2"), lit(0L)).as("s2"),
+        coalesce(col("s3"), lit(0L)).as("s3"))
+      .withColumn("langid",
+        when(col("s1") === 0 && col("s2") === 0 && col("s3") === 0, "und")
+          .when(col("s1") >= col("s2") && col("s1") >= col("s3"), "l1")
+          .when(col("s2") >= col("s3"), "l2")
+          .otherwise("l3"))
+  }
+
+  /** Quality scoring: token stats, stopword ratio, alpha ratio, composite.
+    * Ratios are emitted as exact integer parts-per-million (truncated integer
+    * division) — a float ratio rounded to N decimals can land on a rounding
+    * boundary and differ between engines; integer arithmetic cannot. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ws = docs.select(col("doc_id"),
+      explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("word"))
+    val tok = ws.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(length(col("word"))).as("sum_len"),
+      sum(when(lower(col("word")).isin(Stop: _*), 1L).otherwise(0L)).as("stop_hits"))
+    docs.select(col("doc_id"), length(col("text")).as("n_chars"),
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).as("alpha_chars"))
+      .join(tok, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        expr("(sum_len * 10000) div n_tokens").as("avg_token_len_e4"),
+        expr("(stop_hits * 1000000) div n_tokens").as("stopword_ppm"),
+        expr("(CAST(alpha_chars AS BIGINT) * 1000000) div n_chars").as("alpha_ppm"))
+      .withColumn("quality_ppm", expr("(alpha_ppm + (1000000 - stopword_ppm)) div 2"))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"))
+
+  /** Fingerprint: winnowing-style min-hash over 3-word shingles. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Dedup.shingles(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(min(md5(col("shingle"))).as("fingerprint"),
+           countDistinct(col("shingle")).as("n_shingles"))
+}
