@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{DocOps, RelOps}
+import graft.kg.{Candidates, Canonicalize, CorpusGen, Extract}
+
+/** Physical-plan shape assertions (SURVEY.md §4/§5.5): the plans must stay
+  * the plans we designed for 100 TB — pushdown reaching the scan, partial
+  * aggregation surviving, broadcast where intended, codegen in the hot path.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("F1: filters are pushed to the parquet scan") {
+    val df = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.sparkPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(l_quantity"),
+      s"no pushed filter in:\n$scan")
+  }
+
+  test("F2: column pruning reaches the scan (ReadSchema is minimal)") {
+    val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.sparkPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scan.contains("ReadSchema") && scan.contains("l_orderkey") &&
+           !scan.contains("l_extendedprice"), s"pruning failed:\n$scan")
+  }
+
+  test("A5: vote tallies use two-phase (partial) hash aggregation") {
+    val linked = CorpusGen.srcFiles(spark, 10).toDF()
+      .selectExpr("repo", "'ident' AS kind", "lang AS norm", "cast(length(path) as long) AS entity_id")
+    val p = plan(Canonicalize.vote(linked))
+    assert(p.contains("HashAggregate") && p.contains("partial"),
+      s"no partial agg in:\n$p")
+  }
+
+  test("J1: small dictionary plans a BroadcastHashJoin") {
+    val mentions = Extract.mentions(CorpusGen.srcFiles(spark, 20).toDF())
+    val dict = Candidates.dictionary(CorpusGen.kbEntries(spark).toDF())
+    val p = plan(Candidates.candidates(mentions, dict, broadcastDict = true))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("whole-stage codegen covers the extraction hot path") {
+    val df = Extract.idents(Extract.lines(CorpusGen.srcFiles(spark, 10).toDF()))
+    df.collect() // AQE finalizes the physical plan (and codegen ids) on execution
+    val p = plan(df)
+    // codegen'd operators are prefixed "*(stageId)" in the plan string
+    assert(p.contains("*(1)"), s"no codegen span in:\n$p")
+  }
+
+  test("O3: global top-k plans TakeOrderedAndProject (no full sort)") {
+    val p = plan(RelOps.o3GlobalTopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"unexpected plan:\n$p")
+  }
+
+  test("E5 normalize is idempotent over camel/snake/dot surfaces") {
+    import spark.implicits._
+    val surfaces = Seq("AlphaBeta", "alpha_beta", "a.b.C", "getX_id", "ABC", "x__y",
+                       "Alpha_Beta.GammaDelta", "", "a", "A1b2C3")
+    val df = surfaces.toDF("s")
+      .select(DocOps.normalize(col("s")).as("n1"))
+      .select(col("n1"), DocOps.normalize(col("n1")).as("n2"))
+    assert(df.filter(col("n1") =!= col("n2")).count() == 0)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.kg
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.io.ParquetTableIO
+import java.nio.file.Files
+
+/** End-to-end gates (SURVEY.md §5.2/§5.6, BASELINE.md):
+  *  - P/R ≥ 0.95 vs the generator gold AND vs the independent oracle;
+  *  - identical triples across shuffle-partition counts (determinism);
+  *  - sha256 invariant;
+  *  - kill-and-resume byte-identical.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val N = 150
+
+  private def runInMemory(s: SparkSession): DataFrame = {
+    val src = CorpusGen.srcFiles(s, N).toDF()
+    val mentions = Extract.mentions(src)
+    val dict = Candidates.dictionary(CorpusGen.kbEntries(s).toDF())
+    val cands = Candidates.candidates(mentions, dict, broadcastDict = true)
+    val top1 = Scoring.top1(Scoring.score(mentions, cands, CorpusGen.kbContexts(s).toDF()))
+    Canonicalize.triples(Canonicalize.canonicalMentions(mentions, top1))
+  }
+
+  private def collectTriples(df: DataFrame): Seq[(String, String, String)] =
+    df.select("subj", "pred", "obj").orderBy("subj", "pred", "obj")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+
+  test("P/R ≥ 0.95 vs generator gold") {
+    val pr = Eval.precisionRecall(runInMemory(spark), CorpusGen.gold(spark, N).toDF()).collect()(0)
+    val (p, r) = (pr.getAs[Double]("precision"), pr.getAs[Double]("recall"))
+    assert(p >= 0.95 && r >= 0.95, s"precision=$p recall=$r")
+  }
+
+  test("P/R ≥ 0.95 vs the independent single-threaded oracle") {
+    val engine = collectTriples(runInMemory(spark)).toSet
+    val oracle = Oracle.annotate(
+      (0 until N).map(i => CorpusGen.genFile(i.toLong)._1),
+      (1L to CorpusGen.NumEntities).map(CorpusGen.kbEntry),
+      (1L to CorpusGen.NumEntities).flatMap(CorpusGen.kbContext))
+    val matched = (engine & oracle).size.toDouble
+    val p = matched / engine.size; val r = matched / oracle.size
+    assert(p >= 0.95 && r >= 0.95, s"vs-oracle precision=$p recall=$r " +
+      s"(engine=${engine.size} oracle=${oracle.size})")
+  }
+
+  test("determinism: identical triples at shuffle.partitions 2 vs 13") {
+    def withParts(n: Int): Seq[(String, String, String)] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      try collectTriples(runInMemory(spark))
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    assert(withParts(2) == withParts(13))
+  }
+
+  test("sha256 invariant + checkpointed run + resume is byte-identical") {
+    val dir = Files.createTempDirectory("graft_ckpt").toString
+    val io = new ParquetTableIO(dir)
+    def full(resume: Boolean) = new Pipeline(io, "t1", resume).run(spark,
+      CorpusGen.srcFiles(spark, N).toDF(),
+      CorpusGen.kbEntries(spark).toDF(),
+      CorpusGen.kbContexts(spark).toDF(),
+      snapshot = Some(CorpusGen.fileShas(spark, N).toDF()))
+    val first = collectTriples(full(resume = false))
+    // simulate a crash after stage2: drop later stages, resume
+    io.drop(spark, "stage3_top1"); io.drop(spark, "stage4_triples")
+    val resumed = collectTriples(full(resume = true))
+    assert(first == resumed && first.nonEmpty)
+  }
+
+  test("sha256 invariant violation is detected") {
+    val dir = Files.createTempDirectory("graft_ckpt_bad").toString
+    val io = new ParquetTableIO(dir)
+    val badSnap = CorpusGen.fileShas(spark, 20).toDF()
+      .withColumn("sha256", lit("0" * 64))
+    val ex = intercept[IllegalArgumentException] {
+      new Pipeline(io, "t2").run(spark,
+        CorpusGen.srcFiles(spark, 20).toDF(),
+        CorpusGen.kbEntries(spark).toDF(),
+        CorpusGen.kbContexts(spark).toDF(),
+        snapshot = Some(badSnap))
+    }
+    assert(ex.getMessage.contains("sha256 invariant"))
+  }
+
+  test("generator determinism: same ids → byte-identical corpus") {
+    val a = CorpusGen.srcFiles(spark, 50).collect().sortBy(f => (f.repo, f.path))
+    val b = CorpusGen.srcFiles(spark, 50).collect().sortBy(f => (f.repo, f.path))
+    assert(a.map(f => CorpusGen.sha256Hex(f.content)).toSeq ==
+           b.map(f => CorpusGen.sha256Hex(f.content)).toSeq)
+  }
+}
