@@ -1,24 +1,77 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.io.ParquetTableIO
+import java.nio.file.Files
+
+/** Benchmark main (driver contract): times every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR plus the flagship KG pipeline (extract → link →
+  * materialize, including the parquet write), and prints ONE JSON line.
+  *
+  * Scaling protocol (BASELINE.md): run twice with SPARK_GRAFT_CPUS=8 and
+  * =32 on the same input; efficiency = thr32 / (4 × thr8) on the pipeline's
+  * triples/sec. SPARK_GRAFT_BENCH_FILES sizes the pipeline corpus.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "20000").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      // local-mode only: checkpoint tables are byte-small but row-heavy, so
+      // the 128m default would give heavy explode stages 1-2 input splits;
+      // on a real cluster at design scale keep the default.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.adaptive.enabled", "true")
+      // hash joins over sort-merge: the scoring join's big side is a streamed
+      // exploded term stream - sorting it (SMJ) spills; SHJ hashes the small
+      // side per partition (SURVEY.md J1)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // JVM/codegen warmup so the first measured query isn't charged for it
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // SPARK_GRAFT_BENCH_PIPELINE_ONLY=1 → scaling runs time just the pipeline
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_PIPELINE_ONLY")) {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        results(name) = time {
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+        }
+      }
+    }
+
+    // Flagship: the real checkpointed pipeline (extract → link → materialize,
+    // every stage written through the TableIO seam — the production shape)
+    val out = Files.createTempDirectory("graft_bench_ckpt").toString
+    var triples = 0L
+    val pipeSec = time {
+      val pipe = new kg.Pipeline(new ParquetTableIO(out), runId = "bench")
+      val t = pipe.run(spark,
+        kg.CorpusGen.srcFiles(spark, nFiles).toDF(),
+        kg.CorpusGen.kbEntries(spark).toDF(),
+        kg.CorpusGen.kbContexts(spark).toDF())
+      triples = t.count()
+    }
+    results("kg_pipeline_e2e") = pipeSec
+
+    val total = results.values.sum
+    val thr = triples / pipeSec
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pipeline_files":$nFiles,"pipeline_triples":$triples,"pipeline_triples_per_sec":$thr%.1f}""")
     spark.stop()
   }
 }

@@ -7,11 +7,16 @@ import org.apache.spark.sql.expressions.Window
 /** Mention extraction (SURVEY.md §2.3, E1–E8): src_files → Mention rows.
   *
   * Everything is built-in generator/regexp/array expressions — no UDFs, no
-  * custom Generator — so the whole stage is one WholeStageCodegen span per
-  * branch and Catalyst prunes `content` away right after the explode.
+  * custom Generator — one WholeStageCodegen span around the whole per-line
+  * projection.
   *
-  * Scale: the only shuffle in this stage is the per-file window for the ±k
-  * context (partitionBy repo,path,commit) — everything else is narrow.
+  * Scale design: ONE pass over the line stream. The three extractors (ident /
+  * doc-comment / import) are array expressions gated per line kind and
+  * concatenated into a single mention-struct array, so there is no 3-way
+  * union re-scanning the corpus and no mentions⋈context join afterwards —
+  * the ±k context (the only exchange in this stage: one window partitioned by
+  * file) rides along in the same row. Lines with no mentions are dropped
+  * before anything is materialized.
   */
 object Extract {
 
@@ -38,39 +43,41 @@ object Extract {
   private def isComment: Column = col("line").rlike(commentRe)
   private def isImport: Column  = col("line").rlike(importRe)
 
-  /** E2: identifiers from code lines (comment/import lines excluded — a
-    * lexer does not tokenize those as identifiers). */
-  def idents(lines: DataFrame): DataFrame =
-    lines.filter(!isComment && !isImport)
-      .select(col("repo"), col("path"), col("commit"), col("line_no"),
-              explode(regexp_extract_all(col("line"), lit(IdentRe), lit(0))).as("surface"))
-      .filter(!col("surface").isin(Keywords: _*))
-      .withColumn("kind", lit("ident"))
+  /** E2 surfaces: identifiers from code lines (comment/import lines excluded —
+    * a lexer does not tokenize those as identifiers). Gating the regexp INPUT
+    * (empty string on other line kinds) yields an empty array with no casts. */
+  private def identSurfaces: Column =
+    array_except(
+      regexp_extract_all(when(!isComment && !isImport, col("line")).otherwise(lit("")),
+                         lit(IdentRe), lit(0)),
+      array(Keywords.map(lit): _*))
 
-  /** E3: CamelCase entity references inside doc-comment lines. */
-  def docComments(lines: DataFrame): DataFrame =
-    lines.filter(isComment)
-      .select(col("repo"), col("path"), col("commit"), col("line_no"),
-              explode(regexp_extract_all(col("line"), lit(CamelRe), lit(0))).as("surface"))
-      .withColumn("kind", lit("doccomment"))
+  /** E3 surfaces: CamelCase entity references inside doc-comment lines. */
+  private def docCommentSurfaces: Column =
+    regexp_extract_all(when(isComment, col("line")).otherwise(lit("")), lit(CamelRe), lit(0))
 
-  /** E4: import/dependency targets, one literal-pattern branch per lang so
-    * each regexp stays foldable (codegen) and the lang filter pushes down. */
-  def imports(lines: DataFrame): DataFrame = {
-    def branch(langs: Seq[String], pattern: String): DataFrame =
-      lines.filter(col("lang").isin(langs: _*))
-        .select(col("repo"), col("path"), col("commit"), col("line_no"),
-                regexp_extract(col("line"), pattern, 1).as("target"))
-        .filter(length(col("target")) > 0)
-    val jvm = branch(Seq("scala", "java"), "^\\s*import\\s+([A-Za-z0-9_.]+)")
-    val py  = branch(Seq("python"), "^\\s*from\\s+[A-Za-z0-9_.]+\\s+import\\s+([A-Za-z0-9_.]+)")
-    val js  = branch(Seq("js"), "require\\('kb/([A-Za-z0-9_./]+)'\\)")
-    jvm.unionByName(py).unionByName(js)
-      // the mention surface is the last path segment of the import target
-      .select(col("repo"), col("path"), col("commit"), col("line_no"),
-              regexp_extract(col("target"), "([A-Za-z0-9_]+)$", 1).as("surface"))
-      .withColumn("kind", lit("import"))
+  /** E4 surface: import/dependency target, per-lang literal-pattern grammar;
+    * the mention surface is the last path segment of the target. */
+  private def importSurface: Column = {
+    val gated = when(isImport, col("line")).otherwise(lit(""))
+    val target =
+      when(col("lang").isin("scala", "java"),
+           regexp_extract(gated, "^\\s*import\\s+([A-Za-z0-9_.]+)", 1))
+        .when(col("lang") === "python",
+           regexp_extract(gated, "^\\s*from\\s+[A-Za-z0-9_.]+\\s+import\\s+([A-Za-z0-9_.]+)", 1))
+        .otherwise(regexp_extract(gated, "require\\('kb/([A-Za-z0-9_./]+)'\\)", 1))
+    regexp_extract(target, "([A-Za-z0-9_]+)$", 1)
   }
+
+  private def mentionStruct(kind: String, surface: Column) =
+    struct(lit(kind).as("kind"), surface.as("surface"))
+
+  /** E2∪E3∪E4 as one per-line struct array (E7 without a union). */
+  private def mentionArray: Column =
+    concat(
+      transform(identSurfaces, s => mentionStruct("ident", s)),
+      transform(docCommentSurfaces, s => mentionStruct("doccomment", s)),
+      filter(array(mentionStruct("import", importSurface)), m => length(m("surface")) > 0))
 
   /** E5: normalization — camel split, lower, snake/dot fold, space collapse. */
   def normalize(c: Column): Column =
@@ -79,37 +86,53 @@ object Extract {
                      "[_.]", " "),
       " +", " "))
 
-  /** E6/W2: ±k-line context per file, tokenized to lowercase terms.
-    * Implemented as k lag/lead pairs + concat (no array build, stays in
-    * codegen) over the per-file window. */
-  def fileContexts(lines: DataFrame, k: Int): DataFrame = {
+  /** The one-pass per-line stage: mention array + ±k context + ctx_id.
+    * Only lines carrying at least one mention survive. */
+  def perLine(src: DataFrame, k: Int = 2): DataFrame = {
+    val ls = lines(src)
     val w = Window.partitionBy(col("repo"), col("path"), col("commit")).orderBy(col("line_no"))
     val neighbors: Seq[Column] =
       (k to 1 by -1).map(i => lag(col("line"), i).over(w)) ++
       Seq(col("line")) ++
       (1 to k).map(i => lead(col("line"), i).over(w))
-    lines.select(col("repo"), col("path"), col("commit"), col("line_no"),
-                 concat_ws(" ", neighbors: _*).as("ctx_text"))
+    ls.select(col("repo"), col("path"), col("commit"), col("lang"), col("line_no"),
+              col("line"), concat_ws(" ", neighbors: _*).as("ctx_text"))
       .select(col("repo"), col("path"), col("commit"), col("line_no"),
+              array_distinct(mentionArray).as("ms"),  // in-row dedup: ids are unique by construction
               regexp_extract_all(lower(col("ctx_text")), lit("[a-z_][a-z0-9_]{2,}"), lit(0)).as("ctx_terms"))
+      .filter(size(col("ms")) > 0)
+      .withColumn("ctx_id", xxhash64(col("repo"), col("path"), col("commit"), col("line_no")))
   }
 
-  /** E7+E8: union the extractors, attach norm, ctx and the stable id. */
-  def mentions(src: DataFrame, k: Int = 2): DataFrame = {
-    val ls = lines(src)
-    val union = idents(ls)
-      .unionByName(docComments(ls))
-      .unionByName(imports(ls))
-    val ctx = fileContexts(ls, k)
-    union
-      .join(ctx, Seq("repo", "path", "commit", "line_no"))
+  /** Contexts table: one row per mention-bearing line (already unique). */
+  def contexts(perLine: DataFrame): DataFrame =
+    perLine.select(col("ctx_id"), col("ctx_terms"))
+
+  /** Mention rows (E7+E8): explode the struct array, attach norm + stable id.
+    * Slim — no context payload; scoring joins contexts via ctx_id. */
+  def mentionsFromLines(perLine: DataFrame): DataFrame =
+    perLine.select(col("repo"), col("path"), col("commit"), col("ctx_id"),
+                   col("line_no"), explode(col("ms")).as("m"))
       .select(
         xxhash64(col("repo"), col("path"), col("commit"), col("line_no"),
-                 col("kind"), col("surface")).as("mention_id"),
-        col("repo"), col("path"), col("commit"),
-        col("line_no").as("line"), col("kind"), col("surface"),
-        normalize(col("surface")).as("norm"),
+                 col("m.kind"), col("m.surface")).as("mention_id"),
+        col("repo"), col("path"), col("commit"), col("ctx_id"),
+        col("line_no").as("line"), col("m.kind").as("kind"), col("m.surface").as("surface"),
+        normalize(col("m.surface")).as("norm"))
+
+  /** Back-compat single-DataFrame form: mention rows WITH ctx_terms (used by
+    * unit tests and the operator queries; the pipeline keeps the two-table
+    * form to avoid duplicating contexts per mention). */
+  def mentions(src: DataFrame, k: Int = 2): DataFrame = {
+    val pl = perLine(src, k)
+    pl.select(col("repo"), col("path"), col("commit"), col("ctx_id"),
+              col("line_no"), col("ctx_terms"), explode(col("ms")).as("m"))
+      .select(
+        xxhash64(col("repo"), col("path"), col("commit"), col("line_no"),
+                 col("m.kind"), col("m.surface")).as("mention_id"),
+        col("repo"), col("path"), col("commit"), col("ctx_id"),
+        col("line_no").as("line"), col("m.kind").as("kind"), col("m.surface").as("surface"),
+        normalize(col("m.surface")).as("norm"),
         col("ctx_terms"))
-      .dropDuplicates("mention_id")
   }
 }

@@ -43,6 +43,9 @@ final class Pipeline(io: TableIO, runId: String, resume: Boolean = false) {
                 col("partition_id"), col("rows_out"),
                 lit("committed").as("status"), lit(wallMs).as("wall_ms"))
       io.append(lineage, LineageTable)
+      val lineageMs = (System.nanoTime() - t0) / 1000000L - wallMs
+      if (sys.env.contains("SPARK_GRAFT_STAGE_TIMING"))
+        println(s"[stage] $name write=${wallMs}ms lineage=${lineageMs}ms")
       out
     }
   }
@@ -64,8 +67,13 @@ final class Pipeline(io: TableIO, runId: String, resume: Boolean = false) {
       require(mismatches == 0, s"sha256 invariant violated: $mismatches rows")
     }
 
-    // Stage 1: extraction
-    val mentions = stage(spark, "stage1_mentions", Extract.mentions(files, k))
+    // Stage 1: extraction — one windowed pass writes the per-line table
+    // (mention structs + context); mention rows derive from it narrowly and
+    // contexts are a pruned read of the same checkpoint (stored once per
+    // line, not duplicated per mention).
+    val perLine = stage(spark, "stage1_lines", Extract.perLine(files, k))
+    val mentions = stage(spark, "stage1_mentions", Extract.mentionsFromLines(perLine))
+    val contexts = Extract.contexts(perLine)
 
     // Stage 2: candidate generation (broadcast-vs-salted decided on measured size)
     val dict = Candidates.dictionary(kb)
@@ -76,7 +84,7 @@ final class Pipeline(io: TableIO, runId: String, resume: Boolean = false) {
 
     // Stage 3: context scoring + top-1
     val top1 = stage(spark, "stage3_top1",
-      Scoring.top1(Scoring.score(mentions, cands, kbCtx)))
+      Scoring.top1(Scoring.score(mentions, cands, kbCtx, Some(contexts))))
 
     // Stage 4: canonicalize + materialize triples, partitioned by predicate
     stage(spark, "stage4_triples",
@@ -96,7 +104,15 @@ object Pipeline {
       .master(s"local[$cpus]")
       .appName("graft-kg-pipeline")
       .config("spark.sql.shuffle.partitions", cpus)
+      // local-mode only: checkpoint tables are byte-small but row-heavy, so
+      // the 128m default would give heavy explode stages 1-2 input splits;
+      // on a real cluster at design scale keep the default.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.adaptive.enabled", "true")
+      // hash joins over sort-merge: the scoring join's big side is a streamed
+      // exploded term stream - sorting it (SMJ) spills; SHJ hashes the small
+      // side per partition (SURVEY.md J1)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -2,75 +2,109 @@ package graft.kg
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Context-based disambiguation (SURVEY.md §2.5 A1–A4, J5, W1/W3): score each
   * (mention, candidate entity) pair with TF-IDF/cosine between the mention's
-  * ±k-line context terms and the entity's KB context vector, then keep the
-  * top-1 per mention (deterministic tie-break), falling back to the lookup
-  * prior when the context carries no signal.
+  * ±k-line context terms and the entity's KB context vector; keep the top-1
+  * per mention (deterministic tie-break), falling back to the lookup prior
+  * when the context carries no signal.
   *
-  * All relational — join + two-phase hash aggregation; no UDAF, so partial
-  * (map-side) aggregation and whole-stage codegen apply. The scoring join is
-  * explicitly repartitioned by mention hash (north_star mandate) so the
-  * tf/norm/dot aggregations reuse one exchange.
+  * Shuffle budget — designed for 10^12 files, where this stage is the
+  * pipeline's largest data volume:
+  *  1. contexts are deduplicated per line (every mention on a line shares the
+  *     identical ±k context), so all TF work is per distinct context;
+  *  2. term frequencies are computed INSIDE the row with array higher-order
+  *     functions — the corpus-wide (ctx, term) hash aggregation (the biggest
+  *     shuffle in the naive plan) never happens;
+  *  3. the IDF aggregation's map-side combine reduces to vocabulary-bounded
+  *     rows per partition before its exchange;
+  *  4. `dropDuplicates(ctx_id)` leaves the stream hash-partitioned by
+  *     ctx_id, and the norm aggregation and the scoring join both reuse that
+  *     one exchange (the explicit mention-hash repartitioning the north rule
+  *     mandates — expressed once, reused thrice);
+  *  5. each (context, entity) cosine is computed once and fanned back out to
+  *     co-located mentions.
+  *
+  * All relational — join + two-phase hash aggregation, no UDAF, whole-stage
+  * codegen end to end.
   *
   * Determinism: float sums depend on partition order, so ranking compares
   * scores rounded to 1e-9 with entity_id as total tie-break — output is
-  * stable across partition counts (tested local[2] vs local[8]).
+  * stable across partition counts (tested shuffle.partitions 2 vs 13).
   */
 object Scoring {
 
-  /** exactIdf=false switches DF counting to approx_count_distinct (HLL) —
-    * the 10^12-row path; exact at test scale. */
+  /** `contexts`: the per-line context table (already unique by ctx_id) when
+    * the caller has it checkpointed (the pipeline path — no dedup shuffle);
+    * otherwise derived from the mention rows. */
   def score(mentions: DataFrame, candidates: DataFrame, kbCtx: DataFrame,
-            exactIdf: Boolean = true, shufflePartitions: Int = 0): DataFrame = {
-    // A1: term frequency per mention context — repartition by mention hash
-    // up front; tf, norms and the dot aggregation all reuse this exchange.
-    val base = mentions.select(col("mention_id"), explode(col("ctx_terms")).as("term"))
-    val repart = if (shufflePartitions > 0) base.repartition(shufflePartitions, col("mention_id"))
-                 else base.repartition(col("mention_id"))
-    val tf = repart.groupBy(col("mention_id"), col("term")).agg(count(lit(1)).as("tf"))
+            contexts: Option[DataFrame] = None): DataFrame = {
+    val m = mentions.select(col("mention_id"), col("ctx_id"))
 
-    // A2: document frequency / IDF over the mention-context corpus
-    val nMentions = mentions.agg(countDistinct(col("mention_id")).as("n"))
-    val dfCol = if (exactIdf) countDistinct(col("mention_id")) else approx_count_distinct(col("mention_id"))
-    val idf = tf.groupBy(col("term")).agg(dfCol.as("df"))
-      .crossJoin(broadcast(nMentions))
+    // distinct line contexts, hash-partitioned by ctx_id up front — the one
+    // explicit exchange of the COMPACT rows (terms still in arrays); the tf
+    // explode, the norm aggregation and the scoring join's big side all
+    // inherit it, so the exploded term stream is never shuffled at all.
+    val ctxs = contexts.map(_.repartition(col("ctx_id"))).getOrElse(
+      mentions.select(col("ctx_id"), col("ctx_terms")).dropDuplicates("ctx_id"))
+
+    // A1: in-row term frequency — no shuffle (array higher-order functions)
+    val tfEntries = transform(array_distinct(col("ctx_terms")), t =>
+      struct(t.as("term"),
+             size(filter(col("ctx_terms"), x => x === t)).cast("long").as("tf")))
+    val tf = ctxs.select(col("ctx_id"), explode(tfEntries).as("e"))
+      .select(col("ctx_id"), col("e.term").as("term"), col("e.tf").as("tf"))
+
+    // A2: document frequency / IDF over the context corpus. tf has exactly
+    // one row per (ctx, term), so df = count(*) — partial aggregation shrinks
+    // each partition to vocabulary size before the (cheap) exchange.
+    val nCtx = ctxs.agg(count(lit(1)).as("n"))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nCtx))
       .select(col("term"), (log((col("n") + 1).cast("double") / (col("df") + 1)) + 1.0).as("idf"))
 
+    // idf is vocabulary-sized → AQE broadcasts it; wM stays partitioned by ctx_id
     val wM = tf.join(idf, "term")
-      .select(col("mention_id"), col("term"), (col("tf") * col("idf")).as("wm"))
+      .select(col("ctx_id"), col("term"), (col("tf") * col("idf")).as("wm"))
 
-    // A3: L2 norms
-    val mNorm = wM.groupBy(col("mention_id")).agg(sqrt(sum(col("wm") * col("wm"))).as("m_norm"))
+    // A3 entity-side L2 norm (tiny); the context-side norm is folded into the
+    // scoring aggregation below so the term stream is consumed exactly once.
     val eNorm = kbCtx.groupBy(col("entity_id")).agg(sqrt(sum(col("weight") * col("weight"))).as("e_norm"))
 
-    // J5 + A4: candidate-restricted scoring join → cosine
-    val pairTerms = candidates.join(wM, "mention_id")
-      .join(kbCtx, Seq("entity_id", "term"))
-    val dot = pairTerms.groupBy(col("mention_id"), col("entity_id"))
-      .agg(sum(col("wm") * col("weight")).as("dot"))
-    val cosine = dot
-      .join(mNorm, "mention_id")
+    // J5 + A4: one cosine per distinct (context, candidate entity) pair.
+    // kbCtx joins left-outer so ALL context terms flow through one groupBy,
+    // which emits the dot product and the context norm together (A3+A4 in a
+    // single pass over the big side — no separate norm aggregation).
+    val pairs = candidates.join(m, "mention_id")
+    val ctxEntity = pairs.select(col("ctx_id"), col("entity_id")).distinct()
+    val dotNorm = ctxEntity.join(wM, "ctx_id")
+      .join(broadcast(kbCtx), Seq("entity_id", "term"), "left_outer")
+      .groupBy(col("ctx_id"), col("entity_id"))
+      .agg(sum(col("wm") * coalesce(col("weight"), lit(0.0))).as("dot"),
+           sqrt(sum(col("wm") * col("wm"))).as("m_norm"))
+    // dot = 0 ⇔ no shared term — those pairs fall back to the prior (W3),
+    // exactly as when the inner-join variant produced no row at all
+    val cosine = dotNorm.filter(col("dot") > 0)
       .join(broadcast(eNorm), "entity_id")
+      .select(col("ctx_id"), col("entity_id"),
+              (col("dot") / (col("m_norm") * col("e_norm"))).as("cos"))
+
+    // fan the context-level cosines back out to mentions; W3 fallback to the
+    // scaled lookup prior where the context shares no term with the entity
+    pairs.join(cosine, Seq("ctx_id", "entity_id"), "left_outer")
       .select(col("mention_id"), col("entity_id"),
-              (col("dot") / (col("m_norm") * col("e_norm"))).as("score"))
-
-    // W3 fallback: candidates with no shared context terms rank by prior,
-    // scaled below any real cosine so context evidence always wins.
-    val noCtx = candidates.join(dot.select(col("mention_id"), col("entity_id")),
-                                Seq("mention_id", "entity_id"), "left_anti")
-      .select(col("mention_id"), col("entity_id"), (col("prior") * 1e-9).as("score"))
-
-    cosine.unionByName(noCtx)
+              coalesce(col("cos"), col("prior") * 1e-9).as("score"))
   }
 
-  /** W1: argmax-score candidate per mention, deterministic. */
-  def top1(scored: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("mention_id"))
-      .orderBy(round(col("score"), 9).desc, col("entity_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("mention_id"), col("entity_id"), round(col("score"), 9).as("score"))
-  }
+  /** W1: argmax-score candidate per mention, deterministic. Implemented as
+    * max over a struct with a unique tie-break key — a two-phase partial
+    * aggregation instead of a window sort (no per-partition sort, map-side
+    * combine; ties break toward the smaller entity_id exactly like
+    * row_number over (score desc, entity_id asc)). */
+  def top1(scored: DataFrame): DataFrame =
+    scored.groupBy(col("mention_id"))
+      .agg(max(struct(round(col("score"), 9).as("s"),
+                      (-col("entity_id")).as("nid"),
+                      col("entity_id").as("eid"))).as("m"))
+      .select(col("mention_id"), col("m.eid").as("entity_id"), col("m.s").as("score"))
 }

@@ -48,7 +48,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("whole-stage codegen covers the extraction hot path") {
-    val df = Extract.idents(Extract.lines(CorpusGen.srcFiles(spark, 10).toDF()))
+    val df = Extract.perLine(CorpusGen.srcFiles(spark, 10).toDF())
     df.collect() // AQE finalizes the physical plan (and codegen ids) on execution
     val p = plan(df)
     // codegen'd operators are prefixed "*(stageId)" in the plan string

@@ -74,15 +74,21 @@ object Oracle {
     val ctxByEntity: Map[Long, Map[String, Double]] =
       kbCtx.groupBy(_.entity_id).map { case (e, xs) => (e, xs.map(x => (x.term, x.weight)).toMap) }
 
-    // tf per mention, idf over the mention corpus
-    val tfs: Seq[Map[String, Int]] = mentions.map(_.ctx.groupBy(identity).map { case (t, xs) => (t, xs.size) })
-    val n = mentions.size
+    // tf per distinct line context (mentions on one line share a context),
+    // idf over the context corpus — mirrors the engine's ctx_id keying
+    val ctxKey: OMention => (String, String, String, Int) =
+      m => (m.repo, m.path, m.commit, m.line)
+    val tfByCtx: Map[(String, String, String, Int), Map[String, Int]] =
+      mentions.groupBy(ctxKey).map { case (k, ms) =>
+        (k, ms.head.ctx.groupBy(identity).map { case (t, xs) => (t, xs.size) })
+      }
+    val n = tfByCtx.size
     val df = scala.collection.mutable.HashMap[String, Int]()
-    tfs.foreach(_.keys.foreach(t => df(t) = df.getOrElse(t, 0) + 1))
+    tfByCtx.values.foreach(_.keys.foreach(t => df(t) = df.getOrElse(t, 0) + 1))
     def idf(t: String) = math.log((n + 1).toDouble / (df.getOrElse(t, 0) + 1)) + 1.0
 
     // score, top-1
-    val linked: Seq[(OMention, Long)] = mentions.zip(tfs).flatMap { case (m, tf) =>
+    val linked: Seq[(OMention, Long)] = mentions.map(m => (m, tfByCtx(ctxKey(m)))).flatMap { case (m, tf) =>
       dict.get(m.norm).flatMap { cands =>
         val w = tf.map { case (t, c) => (t, c * idf(t)) }
         val mNorm = math.sqrt(w.values.map(x => x * x).sum)

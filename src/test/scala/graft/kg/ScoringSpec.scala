@@ -12,9 +12,9 @@ class ScoringSpec extends AnyFunSuite {
   // Two mentions, two candidate entities each. Entity 1's context matches
   // mention A; entity 2's matches mention B; entity 3 has no overlap at all.
   private val mentions = Seq(
-    (1L, "r", "p", "c", 0, "ident", "X", "x", Seq("alpha", "beta", "alpha")),
-    (2L, "r", "p", "c", 1, "ident", "Y", "y", Seq("gamma", "delta"))
-  ).toDF("mention_id", "repo", "path", "commit", "line", "kind", "surface", "norm", "ctx_terms")
+    (1L, 101L, "r", "p", "c", 0, "ident", "X", "x", Seq("alpha", "beta", "alpha")),
+    (2L, 102L, "r", "p", "c", 1, "ident", "Y", "y", Seq("gamma", "delta"))
+  ).toDF("mention_id", "ctx_id", "repo", "path", "commit", "line", "kind", "surface", "norm", "ctx_terms")
 
   private val candidates = Seq(
     (1L, 1L, 0.9), (1L, 2L, 0.5), (1L, 3L, 0.99),
@@ -55,8 +55,8 @@ class ScoringSpec extends AnyFunSuite {
 
   test("W1: exact ties break toward the smaller entity_id deterministically") {
     val tied = Seq((1L, 10L, 0.5), (1L, 7L, 0.5)).toDF("mention_id", "entity_id", "prior")
-    val noCtx = Seq((1L, "r", "p", "c", 0, "ident", "X", "x", Seq.empty[String]))
-      .toDF("mention_id", "repo", "path", "commit", "line", "kind", "surface", "norm", "ctx_terms")
+    val noCtx = Seq((1L, 101L, "r", "p", "c", 0, "ident", "X", "x", Seq.empty[String]))
+      .toDF("mention_id", "ctx_id", "repo", "path", "commit", "line", "kind", "surface", "norm", "ctx_terms")
     val top = Scoring.top1(Scoring.score(noCtx, tied, kbCtx)).collect()
     assert(top.length == 1 && top(0).getAs[Long]("entity_id") == 7L)
   }
