@@ -15,9 +15,10 @@ import graft.ops.{Dedup, DocOps, Multimodal, RelOps, Similarity, TextAnalysis}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the KG pipeline end-to-end on a small synthetic corpus
+    * (extract → link → score → vote → triples); driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    DocOps.e7Union(spark, "/root/testdata/sf0.001")
+    queries("kg_pipeline_synthetic")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -87,16 +87,30 @@ object Extract {
       " +", " "))
 
   /** The one-pass per-line stage: mention array + ±k context + ctx_id.
-    * Only lines carrying at least one mention survive. */
+    * Only lines carrying at least one mention survive.
+    *
+    * The ±k context is computed IN-ROW with `slice` over the file's own lines
+    * array — a file's lines never leave their source row, so extraction has
+    * ZERO shuffles (the per-file window this replaces exchanged every line of
+    * the corpus). Stateless ⇒ also directly usable under Structured
+    * Streaming (graft.streaming). */
   def perLine(src: DataFrame, k: Int = 2): DataFrame = {
-    val ls = lines(src)
-    val w = Window.partitionBy(col("repo"), col("path"), col("commit")).orderBy(col("line_no"))
-    val neighbors: Seq[Column] =
-      (k to 1 by -1).map(i => lag(col("line"), i).over(w)) ++
-      Seq(col("line")) ++
-      (1 to k).map(i => lead(col("line"), i).over(w))
-    ls.select(col("repo"), col("path"), col("commit"), col("lang"), col("line_no"),
-              col("line"), concat_ws(" ", neighbors: _*).as("ctx_text"))
+    val withLines = src.select(col("repo"), col("path"), col("commit"), col("lang"),
+                               split(col("content"), "\n").as("lines"))
+    // (line_no, line, ctx_text) structs, built inside the row
+    val perLineStructs = transform(col("lines"), (line, i) => struct(
+      i.as("line_no"),
+      line.as("line"),
+      array_join(slice(col("lines"),
+                       greatest(lit(1), i + 1 - k),
+                       least(size(col("lines")), i + 1 + k) - greatest(lit(1), i + 1 - k) + 1),
+                 " ").as("ctx_text")))
+    withLines
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+              explode(perLineStructs).as("pl"))
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+              col("pl.line_no").as("line_no"), col("pl.line").as("line"),
+              col("pl.ctx_text").as("ctx_text"))
       .select(col("repo"), col("path"), col("commit"), col("line_no"),
               array_distinct(mentionArray).as("ms"),  // in-row dedup: ids are unique by construction
               regexp_extract_all(lower(col("ctx_text")), lit("[a-z_][a-z0-9_]{2,}"), lit(0)).as("ctx_terms"))
