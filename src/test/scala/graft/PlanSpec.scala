@@ -55,6 +55,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1)"), s"no codegen span in:\n$p")
   }
 
+  test("scoring plan has no sort and no sort-merge join (SHJ/BHJ + hash aggs only)") {
+    val src = CorpusGen.srcFiles(spark, 30).toDF()
+    val pl = Extract.perLine(src)
+    val mentions = Extract.mentionsFromLines(pl)
+    val dict = Candidates.dictionary(CorpusGen.kbEntries(spark).toDF())
+    val cands = Candidates.candidates(mentions, dict, broadcastDict = true)
+    val prev = spark.conf.get("spark.sql.join.preferSortMergeJoin", "true")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    try {
+      val scored = graft.kg.Scoring.top1(graft.kg.Scoring.score(
+        mentions, cands, CorpusGen.kbContexts(spark).toDF(), Some(Extract.contexts(pl))))
+      val p = plan(scored)
+      assert(!p.contains("SortMergeJoin"), s"SMJ in scoring plan:\n$p")
+      // top1's max(struct) plans a partial SortAggregate (struct agg buffers
+      // aren't HashAggregate-eligible): a per-partition sort by group key with
+      // map-side combine — measured faster than the Window alternative, which
+      // needs an exchange plus a global sort per partition key. Assert the
+      // expensive shapes stay absent: no window exec, no global sort.
+      assert(!p.contains("Window"), s"window exec in scoring plan:\n$p")
+      assert(!p.linesIterator.exists(l => l.contains("Sort [") && l.contains("], true,")),
+        s"global sort in scoring plan:\n$p")
+    } finally spark.conf.set("spark.sql.join.preferSortMergeJoin", prev)
+  }
+
+  test("extraction plan has zero exchanges (in-row contexts)") {
+    val p = plan(Extract.perLine(CorpusGen.srcFiles(spark, 10).toDF()))
+    assert(!p.contains("Exchange"), s"unexpected exchange in extraction:\n$p")
+  }
+
   test("O3: global top-k plans TakeOrderedAndProject (no full sort)") {
     val p = plan(RelOps.o3GlobalTopK(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), s"unexpected plan:\n$p")
