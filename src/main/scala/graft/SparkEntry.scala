@@ -83,6 +83,13 @@ object SparkEntry {
     "mm_binary_meta"     -> Multimodal.binaryMeta _,
     "mm_decode_stub"     -> ((s: SparkSession, dir: String) =>
       Multimodal.fakeDecode(Multimodal.binaryMeta(s, dir))),
+    // streaming-shape windowed aggregation (batch form; the streaming form
+    // with watermark is graft.streaming.StreamingPipeline.eventWindowCounts)
+    "stream_window_agg" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingPipeline
+        .eventWindowCounts(Tables.events(s, dir), watermark = false)
+        .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+                col("event_type"), col("n"), col("total_value"))),
     // the KG pipeline itself over the synthetic corpus (rows-only check;
     // its oracle is the independent single-threaded one in the test suite)
     "kg_pipeline_synthetic" -> ((s: SparkSession, dir: String) => {
@@ -443,6 +450,10 @@ object SparkEntry {
         |SELECT doc_id, CAST(octet_length(encode(head_hex)) AS INT) AS payload_len,
         |  CAST(ascii(substr(head_hex, 1, 1)) + ascii(substr(head_hex, 2, 1)) + ascii(substr(head_hex, 3, 1)) + ascii(substr(head_hex, 4, 1)) AS DOUBLE) / 1020.0 AS fake_feature
         |FROM m""".stripMargin,
+    "stream_window_agg" ->
+      """SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
         |  round(sum(l_extendedprice * (1.0 - l_discount)),2) AS sum_disc_price,
