@@ -15,6 +15,10 @@ import graft.ops.{Dedup, DocOps, Multimodal, RelOps, Similarity, TextAnalysis}
   */
 object SparkEntry {
 
+  /** Where the S4 gold fixture is materialized (written by `s4_gold_scan`,
+    * read back by both the Spark query and the DuckDB oracle). */
+  val GoldFixturePath = "/root/repo/target/gold_fixture"
+
   /** Flagship: the KG pipeline end-to-end on a small synthetic corpus
     * (extract → link → score → vote → triples); driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -35,6 +39,15 @@ object SparkEntry {
     "e6_context_window" -> DocOps.e6ContextWindow _,
     "e7_union_extractors" -> DocOps.e7Union _,
     "e8_mention_id"     -> DocOps.e8MentionId _,
+    // S4: gold/reference-annotation scan — the gold fixture is materialized
+    // to parquet once (deterministic generator output) and then READ FROM
+    // STORAGE, exactly as a user-supplied T2D/Limaye-style gold file would
+    // be; the oracle reads the very same files.
+    "s4_gold_scan" -> ((s: SparkSession, dir: String) => {
+      graft.kg.CorpusGen.gold(s, 500).toDF()
+        .coalesce(2).write.mode("overwrite").parquet(GoldFixturePath)
+      graft.kg.Eval.goldFromParquet(s, GoldFixturePath)
+    }),
     // §2.1 KB scan / §2.4 joins
     "s2_kb_dictionary"   -> RelOps.s2Kb _,
     "j1_candidates"      -> RelOps.j1Candidates _,
@@ -196,6 +209,9 @@ object SparkEntry {
          |ex AS (SELECT doc_id, repo, path, "commit", CAST(unnest(range(len(p))) AS INT) AS pos, unnest(p) AS word FROM parts),
          |f AS (SELECT * FROM ex WHERE length(word) > 0)
          |SELECT doc_id, pos, md5(repo || '|' || path || '|' || "commit" || '|' || CAST(pos AS VARCHAR) || '|' || word) AS mention_id FROM f""".stripMargin,
+    "s4_gold_scan" ->
+      s"""SELECT repo, path, "commit", line, kind, surface, entity_id
+         |FROM read_parquet('$GoldFixturePath/*.parquet')""".stripMargin,
     "s2_kb_dictionary" ->
       s"""WITH $T, $K
          |SELECT entity_id, label, prior FROM kb""".stripMargin,
@@ -354,21 +370,37 @@ object SparkEntry {
          |FROM b GROUP BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $Shingles,
+         |seeds AS (SELECT CAST(unnest(range(8)) AS INT) AS seed),
+         |mh AS (SELECT doc_id, seed, min(md5(shingle || '#' || CAST(seed AS VARCHAR))) AS minhash
+         |       FROM shv CROSS JOIN seeds GROUP BY doc_id, seed),
+         |sigs AS (SELECT doc_id, (seed >> 1) AS band,
+         |           min(CASE WHEN seed % 2 = 0 THEN minhash END) || '|' || min(CASE WHEN seed % 2 = 1 THEN minhash END) AS sig
+         |         FROM mh GROUP BY doc_id, (seed >> 1)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |          FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
          |sets AS (SELECT DISTINCT doc_id, shingle FROM shv),
          |cnts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sets GROUP BY doc_id),
-         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.n AS na, b.n AS nb
-         |          FROM cnts a JOIN cnts b ON b.doc_id = a.doc_id + 1),
-         |inter AS (SELECT x.doc_id AS d1, CAST(count(*) AS BIGINT) AS i
-         |          FROM sets x JOIN sets y ON y.doc_id = x.doc_id + 1 AND x.shingle = y.shingle GROUP BY x.doc_id)
-         |SELECT d1, d2, round(CAST(coalesce(i, 0) AS DOUBLE) / (na + nb - coalesce(i, 0)), 6) AS jaccard
-         |FROM pairs LEFT JOIN inter USING (d1)""".stripMargin,
+         |inter AS (SELECT p.d1, p.d2, CAST(count(*) AS BIGINT) AS i
+         |          FROM pairs p JOIN sets x ON x.doc_id = p.d1
+         |                       JOIN sets y ON y.doc_id = p.d2 AND x.shingle = y.shingle
+         |          GROUP BY p.d1, p.d2)
+         |SELECT p.d1, p.d2, round(CAST(coalesce(i, 0) AS DOUBLE) / (a.n + b.n - coalesce(i, 0)), 6) AS jaccard
+         |FROM pairs p JOIN cnts a ON a.doc_id = p.d1 JOIN cnts b ON b.doc_id = p.d2
+         |LEFT JOIN inter ON inter.d1 = p.d1 AND inter.d2 = p.d2""".stripMargin,
     "dedup_embcos_pairs" ->
-      s"""WITH exb AS (SELECT vec_id, vec_id % 50 AS b, CAST(unnest(range(len(embedding))) AS INT) AS pos, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
-         |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM exb GROUP BY vec_id),
-         |dots AS (SELECT a.vec_id AS v1, c.vec_id AS v2, sum(a.x * c.x) AS dot
-         |         FROM exb a JOIN exb c ON a.pos = c.pos AND a.b = c.b AND a.vec_id < c.vec_id
-         |         GROUP BY a.vec_id, c.vec_id)
-         |SELECT v1, v2, round(dot / (na.n * nb.n), 4) AS cos
+      s"""WITH $EmbEx,
+         |coef AS (SELECT p.plane, d.dim, CASE WHEN substr(md5(CAST(p.plane AS VARCHAR) || '_' || CAST(d.dim AS VARCHAR)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END AS coef
+         |         FROM (SELECT CAST(unnest(range(32)) AS INT) AS plane) p CROSS JOIN (SELECT CAST(unnest(range(64)) AS INT) AS dim) d),
+         |sg AS (SELECT vec_id, plane, sum(x * coef) AS s FROM ex JOIN coef ON ex.pos = coef.dim GROUP BY vec_id, plane),
+         |bk AS (SELECT vec_id, CAST(plane // 8 AS INT) AS band,
+         |         CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << (plane % 8)) ELSE 0 END) AS BIGINT) AS sig
+         |       FROM sg GROUP BY vec_id, CAST(plane // 8 AS INT)),
+         |pairs AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |          FROM bk a JOIN bk b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+         |dots AS (SELECT p.v1, p.v2, sum(a.x * c.x) AS dot
+         |         FROM pairs p JOIN ex a ON a.vec_id = p.v1 JOIN ex c ON c.vec_id = p.v2 AND c.pos = a.pos
+         |         GROUP BY p.v1, p.v2)
+         |SELECT v1, v2, round(dot / (na.n * nb.n), 4) + 0 AS cos
          |FROM dots JOIN norms na ON v1 = na.vec_id JOIN norms nb ON v2 = nb.vec_id""".stripMargin,
     "sim_brute_topk" ->
       s"""WITH $EmbEx,

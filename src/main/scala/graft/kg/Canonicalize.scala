@@ -34,7 +34,12 @@ object Canonicalize {
       .join(canon, Seq("repo", "kind", "norm"))
   }
 
-  /** S5 projection: (subj, pred, obj) triples with provenance. */
+  /** S5 projection: (subj, pred, obj) triples with provenance. Dedup is an
+    * aggregation, not dropDuplicates: when two mentions on one line collapse
+    * to the same triple with different conf, dropDuplicates keeps a
+    * partition-order-dependent row — max(struct) keeps the highest conf
+    * deterministically (provenance is functionally determined by subj, so
+    * the struct max resolves purely on conf). */
   def triples(canonical: DataFrame): DataFrame =
     canonical.select(
       concat(lit("code:"), col("repo"), lit("/"), col("path"),
@@ -45,5 +50,9 @@ object Canonicalize {
       concat(lit("kb:"), col("entity_id").cast("string")).as("obj"),
       col("conf"),
       col("repo").as("src_repo"), col("path").as("src_path"), col("commit").as("src_commit"))
-      .dropDuplicates("subj", "pred", "obj")
+      .groupBy(col("subj"), col("pred"), col("obj"))
+      .agg(max(struct(col("conf"), col("src_repo"), col("src_path"), col("src_commit"))).as("m"))
+      .select(col("subj"), col("pred"), col("obj"), col("m.conf").as("conf"),
+              col("m.src_repo").as("src_repo"), col("m.src_path").as("src_path"),
+              col("m.src_commit").as("src_commit"))
 }

@@ -1,12 +1,22 @@
 package graft.kg
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Evaluation harness (SURVEY.md J6/A9): precision/recall of emitted triples
   * vs the gold annotations, via one full-outer join + conditional aggregation.
   */
 object Eval {
+
+  /** S4: gold/reference-annotation scan — T2D/Limaye-style gold read from
+    * storage, the entry point for user-supplied gold annotation files
+    * (columns: repo, path, commit, line, kind, surface, entity_id). */
+  def goldFromParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Precision/recall against a gold parquet path (S4 → J6 in one call). */
+  def precisionRecallFromPath(spark: SparkSession, emitted: DataFrame, goldPath: String): DataFrame =
+    precisionRecall(emitted, goldFromParquet(spark, goldPath))
 
   /** Gold rows → the triple key space (same construction as Canonicalize.triples). */
   def goldTriples(gold: DataFrame): DataFrame =

@@ -57,9 +57,12 @@ object Extract {
     regexp_extract_all(when(isComment, col("line")).otherwise(lit("")), lit(CamelRe), lit(0))
 
   /** E4 surface: import/dependency target, per-lang literal-pattern grammar;
-    * the mention surface is the last path segment of the target. */
+    * the mention surface is the last path segment of the target. Gated
+    * comment-FIRST (a comment line that mentions `require(...)` is a doc
+    * comment, not an import) — the extractor gates are mutually exclusive,
+    * matching the pinned oracle's if/else-if precedence. */
   private def importSurface: Column = {
-    val gated = when(isImport, col("line")).otherwise(lit(""))
+    val gated = when(isImport && !isComment, col("line")).otherwise(lit(""))
     val target =
       when(col("lang").isin("scala", "java"),
            regexp_extract(gated, "^\\s*import\\s+([A-Za-z0-9_.]+)", 1))

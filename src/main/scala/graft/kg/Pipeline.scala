@@ -19,11 +19,15 @@ final class Pipeline(io: TableIO, runId: String, resume: Boolean = false) {
 
   val LineageTable = "_lineage"
 
+  /** A stage is resumable only when the lineage row was committed by THE SAME
+    * run_id — a checkpoint dir written by a different run (e.g. a different
+    * corpus size) must never be silently reused for this one. */
   private def committed(spark: SparkSession, stage: String): Boolean =
     resume && io.exists(spark, LineageTable) && io.exists(spark, stage) && {
       import spark.implicits._
       io.read(spark, LineageTable)
-        .filter(col("stage") === stage && col("status") === "committed")
+        .filter(col("stage") === stage && col("status") === "committed" &&
+                col("run_id") === runId)
         .limit(1).count() > 0
     }
 
@@ -54,7 +58,8 @@ final class Pipeline(io: TableIO, runId: String, resume: Boolean = false) {
   def run(spark: SparkSession, src: DataFrame, kb: DataFrame, kbCtx: DataFrame,
           snapshot: Option[DataFrame] = None,
           k: Int = 2, saltR: Int = 8, hotThreshold: Long = 10000L,
-          broadcastDictMaxRows: Long = 1000000L): DataFrame = {
+          broadcastDictMaxRows: Long = 1000000L,
+          broadcastKbCtxMaxRows: Long = 10000000L): DataFrame = {
 
     // Stage 0: ingest + per-row sha256 invariant vs the source snapshot (F3/J7)
     val files = stage(spark, "stage0_files",
@@ -82,9 +87,16 @@ final class Pipeline(io: TableIO, runId: String, resume: Boolean = false) {
       Candidates.candidates(mentions, dict, broadcastDict = dictRows <= broadcastDictMaxRows,
                             saltR = saltR, hotThreshold = hotThreshold))
 
-    // Stage 3: context scoring + top-1
+    // Stage 3: context scoring + top-1. The kbCtx broadcast is decided on
+    // measured size (a DBpedia-scale KB's exploded context table is multi-GB
+    // — then the scoring join runs as a shuffled hash join), mirroring the
+    // dictionary-join policy above. spark.graft.idf.approx=true switches the
+    // document-frequency aggregation to HLL for 10^12-row corpora.
+    val approxIdf = spark.conf.getOption("spark.graft.idf.approx").exists(_.toBoolean)
+    val kbCtxRows = kbCtx.count()
     val top1 = stage(spark, "stage3_top1",
-      Scoring.top1(Scoring.score(mentions, cands, kbCtx, Some(contexts))))
+      Scoring.top1(Scoring.score(mentions, cands, kbCtx, Some(contexts),
+        broadcastKbCtx = kbCtxRows <= broadcastKbCtxMaxRows, approxIdf = approxIdf)))
 
     // Stage 4: canonicalize + materialize triples, partitioned by predicate
     stage(spark, "stage4_triples",
@@ -128,7 +140,10 @@ object Pipeline {
         snapshot = Some(CorpusGen.fileShas(spark, nFiles).toDF()))
       val n = triples.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      val pr = Eval.precisionRecall(triples, CorpusGen.gold(spark, nFiles).toDF()).collect()(0)
+      // S4 exercised for real: gold goes to storage first, eval reads the files
+      val goldPath = s"$ckpt/gold_fixture"
+      CorpusGen.gold(spark, nFiles).toDF().write.mode("overwrite").parquet(goldPath)
+      val pr = Eval.precisionRecallFromPath(spark, triples, goldPath).collect()(0)
       println(f"triples=$n wall=$sec%.2fs thr=${n / sec}%.0f triples/sec " +
               f"precision=${pr.getAs[Double]("precision")}%.4f recall=${pr.getAs[Double]("recall")}%.4f")
     } finally spark.stop()

@@ -34,11 +34,46 @@ import org.apache.spark.sql.functions._
   */
 object Scoring {
 
+  /** A1 as in-row term frequency per distinct context — no shuffle (array
+    * higher-order functions); one row per (ctx_id, term). */
+  private def ctxTf(ctxs: DataFrame): DataFrame = {
+    val tfEntries = transform(array_distinct(col("ctx_terms")), t =>
+      struct(t.as("term"),
+             size(filter(col("ctx_terms"), x => x === t)).cast("long").as("tf")))
+    ctxs.select(col("ctx_id"), explode(tfEntries).as("e"))
+      .select(col("ctx_id"), col("e.term").as("term"), col("e.tf").as("tf"))
+  }
+
+  /** Per-term document frequency of a context set — the additive IDF
+    * contribution unit (streaming accumulates these per micro-batch). */
+  def termDf(ctxs: DataFrame): DataFrame =
+    ctxTf(ctxs).groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /** Global IDF from accumulated (term, df) stats + a one-row (n) frame —
+    * the same formula the batch path uses, so a snapshot built from summed
+    * per-batch stats reproduces batch scores exactly. */
+  def idfFromStats(stats: DataFrame, nCtx: DataFrame): DataFrame =
+    stats.groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .crossJoin(broadcast(nCtx))
+      .select(col("term"), (log((col("n") + 1).cast("double") / (col("df") + 1)) + 1.0).as("idf"))
+
   /** `contexts`: the per-line context table (already unique by ctx_id) when
     * the caller has it checkpointed (the pipeline path — no dedup shuffle);
-    * otherwise derived from the mention rows. */
+    * otherwise derived from the mention rows.
+    *
+    * `broadcastKbCtx`: the entity context-vector table is broadcast only when
+    * the caller measured it small (a DBpedia-scale KB is multi-GB exploded —
+    * then the join runs as a shuffled hash join; preferSortMergeJoin=false).
+    * `approxIdf`: HLL (`approx_count_distinct`) document frequencies for
+    * corpora where even the vocabulary-bounded exact pre-aggregation is too
+    * wide (10^12-row scale); exact at test scale.
+    * `idfOverride`: a precomputed (term, idf) snapshot (streaming's global
+    * IDF) replacing the corpus-local computation. */
   def score(mentions: DataFrame, candidates: DataFrame, kbCtx: DataFrame,
-            contexts: Option[DataFrame] = None): DataFrame = {
+            contexts: Option[DataFrame] = None,
+            broadcastKbCtx: Boolean = true,
+            approxIdf: Boolean = false,
+            idfOverride: Option[DataFrame] = None): DataFrame = {
     val m = mentions.select(col("mention_id"), col("ctx_id"))
 
     // distinct line contexts, hash-partitioned by ctx_id up front — the one
@@ -48,28 +83,34 @@ object Scoring {
     val ctxs = contexts.map(_.repartition(col("ctx_id"))).getOrElse(
       mentions.select(col("ctx_id"), col("ctx_terms")).dropDuplicates("ctx_id"))
 
-    // A1: in-row term frequency — no shuffle (array higher-order functions)
-    val tfEntries = transform(array_distinct(col("ctx_terms")), t =>
-      struct(t.as("term"),
-             size(filter(col("ctx_terms"), x => x === t)).cast("long").as("tf")))
-    val tf = ctxs.select(col("ctx_id"), explode(tfEntries).as("e"))
-      .select(col("ctx_id"), col("e.term").as("term"), col("e.tf").as("tf"))
+    val tf = ctxTf(ctxs)
 
     // A2: document frequency / IDF over the context corpus. tf has exactly
     // one row per (ctx, term), so df = count(*) — partial aggregation shrinks
-    // each partition to vocabulary size before the (cheap) exchange.
-    val nCtx = ctxs.agg(count(lit(1)).as("n"))
-    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nCtx))
-      .select(col("term"), (log((col("n") + 1).cast("double") / (col("df") + 1)) + 1.0).as("idf"))
+    // each partition to vocabulary size before the (cheap) exchange; the HLL
+    // variant sketches instead of counting when even that is too wide.
+    val idf = idfOverride.getOrElse {
+      val nCtx = ctxs.agg(count(lit(1)).as("n"))
+      val df =
+        if (approxIdf) tf.groupBy(col("term")).agg(approx_count_distinct(col("ctx_id")).as("df"))
+        else tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      df.crossJoin(broadcast(nCtx))
+        .select(col("term"), (log((col("n") + 1).cast("double") / (col("df") + 1)) + 1.0).as("idf"))
+    }
 
     // idf is vocabulary-sized → AQE broadcasts it; wM stays partitioned by ctx_id
     val wM = tf.join(idf, "term")
       .select(col("ctx_id"), col("term"), (col("tf") * col("idf")).as("wm"))
 
-    // A3 entity-side L2 norm (tiny); the context-side norm is folded into the
-    // scoring aggregation below so the term stream is consumed exactly once.
+    // A3 entity-side L2 norm (entity-count-sized); the context-side norm is
+    // folded into the scoring aggregation below so the term stream is
+    // consumed exactly once.
     val eNorm = kbCtx.groupBy(col("entity_id")).agg(sqrt(sum(col("weight") * col("weight"))).as("e_norm"))
+    // not broadcastable → explicit SHUFFLE_HASH hint: the big side is a
+    // streamed exploded term stream, sorting it for SMJ would spill; the KB
+    // side (though too big to broadcast) still hashes per partition
+    val maybeBcast: DataFrame => DataFrame =
+      if (broadcastKbCtx) broadcast else (df => df.hint("shuffle_hash"))
 
     // J5 + A4: one cosine per distinct (context, candidate entity) pair.
     // kbCtx joins left-outer so ALL context terms flow through one groupBy,
@@ -78,14 +119,14 @@ object Scoring {
     val pairs = candidates.join(m, "mention_id")
     val ctxEntity = pairs.select(col("ctx_id"), col("entity_id")).distinct()
     val dotNorm = ctxEntity.join(wM, "ctx_id")
-      .join(broadcast(kbCtx), Seq("entity_id", "term"), "left_outer")
+      .join(maybeBcast(kbCtx), Seq("entity_id", "term"), "left_outer")
       .groupBy(col("ctx_id"), col("entity_id"))
       .agg(sum(col("wm") * coalesce(col("weight"), lit(0.0))).as("dot"),
            sqrt(sum(col("wm") * col("wm"))).as("m_norm"))
     // dot = 0 ⇔ no shared term — those pairs fall back to the prior (W3),
     // exactly as when the inner-join variant produced no row at all
     val cosine = dotNorm.filter(col("dot") > 0)
-      .join(broadcast(eNorm), "entity_id")
+      .join(maybeBcast(eNorm), "entity_id")
       .select(col("ctx_id"), col("entity_id"),
               (col("dot") / (col("m_norm") * col("e_norm"))).as("cos"))
 

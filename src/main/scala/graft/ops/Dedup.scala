@@ -21,16 +21,27 @@ import graft.Tables
   */
 object Dedup {
 
-  /** 3-word shingles per document (word order preserved). */
-  def shingles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-      .filter(length(col("word")) > 0)
-      .select(col("doc_id"), col("pos"),
-              concat(col("word"), lit(" "), lead(col("word"), 1).over(w),
-                     lit(" "), lead(col("word"), 2).over(w)).as("shingle"))
-      .filter(col("shingle").isNotNull)
+  /** 3-word shingles per document (word order preserved).
+    *
+    * Computed IN-ROW: the word array never leaves its document's row, so the
+    * shingle stage has ZERO exchanges (the per-doc window it replaces
+    * shuffled every word of the corpus before the first aggregation). Same
+    * trick as the extraction stage's in-row ±k contexts (kg.Extract.perLine).
+    * Plan-asserted exchange-free in PlanSpec. */
+  def shingles(spark: SparkSession, dir: String): DataFrame =
+    shinglesFor(Tables.documents(spark, dir))
+
+  /** Shingles over any (doc_id, text) frame (unit-test seam). */
+  def shinglesFor(docs: DataFrame): DataFrame = {
+    val ws = filter(split(col("text"), " "), w => length(w) > 0)
+    docs
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        explode(transform(
+          // windows of 3 consecutive non-empty words; element_at is 1-based
+          slice(col("ws"), lit(1), greatest(size(col("ws")) - 2, lit(0))),
+          (w, i) => concat_ws(" ", w, element_at(col("ws"), i + 2),
+                              element_at(col("ws"), i + 3)))).as("shingle"))
   }
 
   /** Exact dedup: content-hash groups with a deterministic representative. */
@@ -41,7 +52,10 @@ object Dedup {
 
   /** MinHash signatures: 8 permutations simulated as min(md5(shingle#seed)). */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    shingles(spark, dir)
+    minhashSignaturesFor(Tables.documents(spark, dir))
+
+  def minhashSignaturesFor(docs: DataFrame): DataFrame =
+    shinglesFor(docs)
       .withColumn("seed", explode(sequence(lit(0), lit(7))))
       .groupBy(col("doc_id"), col("seed"))
       .agg(min(md5(concat(col("shingle"), lit("#"), col("seed").cast("string")))).as("minhash"))
@@ -49,8 +63,11 @@ object Dedup {
   /** LSH banding: 4 bands × 2 rows; near-dup candidate pairs share a band
     * signature. The pair join is on (band, signature) — high-cardinality keys,
     * so the self-join cannot hot-spot. */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(spark, dir)
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsFor(Tables.documents(spark, dir))
+
+  def minhashPairsFor(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignaturesFor(docs)
       .withColumn("band", shiftright(col("seed"), 1))
       .groupBy(col("doc_id"), col("band"))
       .agg(concat_ws("|",
@@ -78,19 +95,28 @@ object Dedup {
       .agg(sum(when(col("s") > 0, pow(lit(2), col("bit")).cast("long")).otherwise(0L)).as("simhash"))
   }
 
-  /** n-gram Jaccard similarity for consecutive-id candidate pairs. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sets = shingles(spark, dir).select(col("doc_id"), col("shingle")).distinct()
+  /** n-gram Jaccard VERIFY stage for the LSH candidate pairs: exact Jaccard
+    * over 3-word shingle sets, computed only for pairs that survived the
+    * MinHash band funnel (minhashPairs) — the standard two-stage near-dup
+    * pipeline (cheap probabilistic candidates → exact verification on the
+    * tiny surviving set), never all-pairs. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardFor(Tables.documents(spark, dir))
+
+  def ngramJaccardFor(docs: DataFrame): DataFrame = {
+    val sets = shinglesFor(docs).select(col("doc_id"), col("shingle")).distinct()
     val counts = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = counts.as("a").join(counts.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-              col("a.n").as("na"), col("b.n").as("nb"))
-    val inter = sets.as("x").join(sets.as("y"),
-        col("y.doc_id") === col("x.doc_id") + 1 && col("x.shingle") === col("y.shingle"))
-      .groupBy(col("x.doc_id").as("d1")).agg(count(lit(1)).as("inter"))
-    pairs.join(inter, Seq("d1"), "left_outer")
+    val pairs = minhashPairsFor(docs)
+    val inter = pairs
+      .join(sets.as("x"), col("d1") === col("x.doc_id"))
+      .join(sets.as("y"), col("d2") === col("y.doc_id") && col("x.shingle") === col("y.shingle"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+    pairs
+      .join(counts.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
+      .join(counts.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
+      .join(inter, Seq("d1", "d2"), "left_outer")
       .select(col("d1"), col("d2"),
-        round(coalesce(col("inter"), lit(0L)).cast("double") /
-              (col("na") + col("nb") - coalesce(col("inter"), lit(0L))), 6).as("jaccard"))
+        round(coalesce(col("i"), lit(0L)).cast("double") /
+              (col("na") + col("nb") - coalesce(col("i"), lit(0L))), 6).as("jaccard"))
   }
 }

@@ -34,13 +34,25 @@ object RelOps {
 
   // --------------------------------------------------------------------------
   // S2: KB label dictionary — top-20 tokens by corpus frequency.
+  //
+  // Scale shape: the global top-k is orderBy(...).limit(k), which Catalyst
+  // plans as TakeOrderedAndProject — per-partition heaps + a k-row merge on
+  // the driver, NEVER a single-partition global Window (a no-partition
+  // Window funnels the whole vocabulary aggregate through one task; at a
+  // real corpus the vocabulary is 10^8–10^9 identifiers). The rank
+  // (entity_id) is then derived INSIDE the k-row result via one in-row
+  // sort_array over a collect_list of exactly k rows — bounded by k, not by
+  // the corpus. Plan-asserted in PlanSpec.
   // --------------------------------------------------------------------------
   def s2Kb(spark: SparkSession, dir: String): DataFrame = {
     val cnt = docTerms(spark, dir).groupBy(col("term")).agg(count(lit(1)).as("prior"))
-    val w = Window.orderBy(col("prior").desc, col("term").asc)
-    cnt.select(row_number().over(w).cast("long").as("entity_id"),
-               col("term").as("label"), col("prior"))
-      .filter(col("entity_id") <= 20)
+    val top = cnt.orderBy(col("prior").desc, col("term").asc).limit(20)
+    top
+      .agg(sort_array(collect_list(struct(
+        (-col("prior")).as("np"), col("term").as("label"), col("prior").as("prior")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).cast("long").as("entity_id"),
+              col("e.label").as("label"), col("e.prior").as("prior"))
   }
 
   /** DuckDB CTEs mirroring docTerms / mentions / kb — kept adjacent. */
@@ -193,11 +205,20 @@ object RelOps {
               round(sum(col("l_quantity")).over(w), 2).as("moving_qty"))
   }
 
-  /** W3: rank KB entities by lookup prior (the no-context fallback ranking). */
+  /** W3: rank KB entities by lookup prior (the no-context fallback ranking).
+    * rank() = 1 + |rows strictly ahead in (prior desc, label asc)| — computed
+    * as a broadcast non-equi self-join over the k-row dictionary instead of a
+    * no-partition Window, so the idiom stays scale-safe even though the input
+    * here is bounded (it is the k-row KB dict). */
   def w3RankPrior(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("prior").desc, col("label").asc)
-    s2Kb(spark, dir).select(col("entity_id"), col("label"), col("prior"),
-                            rank().over(w).cast("long").as("rnk"))
+    val kb = s2Kb(spark, dir)
+    val other = kb.select(col("prior").as("p2"), col("label").as("l2"))
+    kb.join(broadcast(other),
+        col("p2") > col("prior") || (col("p2") === col("prior") && col("l2") < col("label")),
+        "left_outer")
+      .groupBy(col("entity_id"), col("label"), col("prior"))
+      .agg((count(col("l2")) + 1L).as("rnk"))
+      .select(col("entity_id"), col("label"), col("prior"), col("rnk"))
   }
 
   // --------------------------------------------------------------------------
@@ -213,13 +234,14 @@ object RelOps {
       .select(col("lang"), col("term").as("top_term"), col("cnt"))
   }
 
-  /** A6: hot-key frequency top-k (feeds the J2 salting hot-set). */
-  def a6HotKeys(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("cnt").desc, col("term").asc)
+  /** A6: hot-key frequency top-k (feeds the J2 salting hot-set).
+    * orderBy+limit → TakeOrderedAndProject — no single-partition Window
+    * (the production hot-key path in kg.Candidates uses a threshold filter;
+    * this parity query is the top-k form, in the scale-safe shape). */
+  def a6HotKeys(spark: SparkSession, dir: String): DataFrame =
     docTerms(spark, dir).groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .orderBy(col("cnt").desc, col("term").asc).limit(10)
       .select(col("term"), col("cnt"))
-  }
 
   /** A7: lineage/metrics rollup per repo (per-partition variant is in graft.kg). */
   def a7LineageRollup(spark: SparkSession, dir: String): DataFrame =

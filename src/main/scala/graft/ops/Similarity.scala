@@ -24,12 +24,12 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Embeddings with double-cast arrays and a coarse pair-bucketing column. */
+  /** Embeddings with double-cast arrays. */
+  private def vecsFor(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+
   private def vecs(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir).select(
-      col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("e"),
-      (col("vec_id") % 50).as("b"))
+    vecsFor(Tables.embeddings(spark, dir))
 
   private def dot(a: Column, bCol: Column): Column =
     aggregate(zip_with(a, bCol, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -37,17 +37,58 @@ object Similarity {
   private def l2(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  /** Embedding-cosine near-dup pairs within coarse buckets (dedup operator). */
-  def embeddingCosinePairs(spark: SparkSession, dir: String): DataFrame = {
-    val v = vecs(spark, dir)
-    v.as("a").join(v.as("b"), col("a.b") === col("b.b") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        round(dot(col("a.e"), col("b.e")) / (l2(col("a.e")) * l2(col("b.e"))), 4).as("cos"))
+  /** Banded random-hyperplane signatures: `nBands` independent LSH tables of
+    * `planesPerBand` sign bits each. A pair is a near-dup CANDIDATE iff it
+    * collides in at least one band — banding is what makes the recall usable
+    * (a single 8-bit table misses ~40% of even 0.95-cosine pairs; 4 bands of
+    * 8 bits catch >97% of 0.99-cosine pairs while admitting ~1.5% of random
+    * pairs). The (band, sig) key is the shuffle key — high cardinality, no
+    * mega-buckets, never all-pairs. */
+  def bandBucketsFor(emb: DataFrame, nBands: Int = 4, planesPerBand: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    val ex = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
+    val s = ex.join(broadcast(planes(spark, nBands * planesPerBand, 64)), "dim")
+      .groupBy(col("vec_id"), col("plane")).agg(sum(col("x") * col("coef")).as("s"))
+    s.select(col("vec_id"),
+             (col("plane") / planesPerBand).cast("int").as("band"),
+             pmod(col("plane"), lit(planesPerBand)).as("bit"),
+             col("s"))
+      .groupBy(col("vec_id"), col("band"))
+      .agg(sum(when(col("s") >= 0, pow(lit(2), col("bit")).cast("long")).otherwise(0L)).as("sig"))
+  }
+
+  /** Near-dup candidate pairs: collide in ≥1 LSH band (similarity-preserving;
+    * replaces the old vec_id%50 bucketing whose recall was ~1/50 by
+    * construction). */
+  def candidatePairsFor(emb: DataFrame, nBands: Int = 4, planesPerBand: Int = 8): DataFrame = {
+    val b = bandBucketsFor(emb, nBands, planesPerBand)
+    b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .distinct()
+  }
+
+  /** Embedding-cosine near-dup pairs over LSH-band candidates (dedup operator). */
+  def embeddingCosinePairs(spark: SparkSession, dir: String): DataFrame =
+    embeddingCosinePairsFor(Tables.embeddings(spark, dir))
+
+  def embeddingCosinePairsFor(emb: DataFrame): DataFrame = {
+    val v = vecsFor(emb)
+    candidatePairsFor(emb)
+      .join(v.select(col("vec_id").as("v1"), col("e").as("e1")), "v1")
+      .join(v.select(col("vec_id").as("v2"), col("e").as("e2")), "v2")
+      .select(col("v1"), col("v2"),
+        // + 0.0 folds IEEE -0.0 (a tiny negative cosine rounded to 4dp) to
+        // 0.0 — engines disagree on the sign bit's string form otherwise
+        (round(dot(col("e1"), col("e2")) / (l2(col("e1")) * l2(col("e2"))), 4) + lit(0.0)).as("cos"))
   }
 
   /** Brute-force cosine top-k: queries (vec_id < 5) broadcast vs all vectors. */
   def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val v = vecs(spark, dir).drop("b")
+    val v = vecs(spark, dir)
     val q = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val scored = v.join(broadcast(q), col("vec_id") =!= col("q_id"))
@@ -78,7 +119,7 @@ object Similarity {
 
   /** ANN: top-k within the query's LSH bucket (the scale path). */
   def lshTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val v = vecs(spark, dir).drop("b").join(lshBuckets(spark, dir), "vec_id")
+    val v = vecs(spark, dir).join(lshBuckets(spark, dir), "vec_id")
     val q = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("bucket"))
     val cand = v.join(q, Seq("bucket")).filter(col("vec_id") =!= col("q_id"))

@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+
+/** Near-dup discovery quality gates:
+  *  - LSH→Jaccard funnel: every planted near-dup pair survives
+  *    minhashPairs and is verified by ngramJaccard with high similarity;
+  *  - embedding LSH bands: recall ≥ 0.9 of brute-force high-cosine pairs
+  *    (the old vec_id-bucket pairing had ~1/50 recall by construction).
+  */
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // --- text near-dups --------------------------------------------------
+  private def sentence(seed: Int, n: Int): String = {
+    val r = new scala.util.Random(seed)
+    val pool = Array("alpha", "beta", "gamma", "delta", "kernel", "socket",
+                     "stream", "batch", "vector", "matrix", "cursor", "ledger")
+    (0 until n).map(_ => pool(r.nextInt(pool.length))).mkString(" ")
+  }
+
+  // 10 base docs; docs 100..102 are near-dups of docs 0..2 (one word changed
+  // out of 40 → shingle Jaccard ≈ 0.93); the rest are unrelated.
+  private lazy val docs = {
+    val base = (0 until 10).map(i => (i.toLong, sentence(i, 40)))
+    val dups = (0 until 3).map { i =>
+      val words = sentence(i, 40).split(" ")
+      words(20) = "CHANGED"
+      ((100 + i).toLong, words.mkString(" "))
+    }
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  test("shingles: in-row computation matches the sliding-window definition") {
+    val d = Seq((1L, "a  bb ccc dddd e")).toDF("doc_id", "text") // double space
+    val sh = Dedup.shinglesFor(d).as[(Long, String)].collect().map(_._2).toSeq
+    assert(sh == Seq("a bb ccc", "bb ccc dddd", "ccc dddd e"))
+    // short docs produce no shingles, not a crash
+    assert(Dedup.shinglesFor(Seq((2L, "one two")).toDF("doc_id", "text")).count() == 0)
+  }
+
+  test("LSH→Jaccard funnel: every planted near-dup pair survives") {
+    val expected = Set((0L, 100L), (1L, 101L), (2L, 102L))
+    val pairs = Dedup.minhashPairsFor(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(expected.subsetOf(pairs), s"LSH candidates missed near-dups: $pairs")
+    val jac = Dedup.ngramJaccardFor(docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    expected.foreach { p =>
+      assert(jac.contains(p) && jac(p) >= 0.8, s"pair $p jaccard=${jac.get(p)}")
+    }
+    // ngramJaccard only scores LSH candidates — never all-pairs
+    assert(jac.keySet == pairs)
+  }
+
+  // --- embedding near-dups ---------------------------------------------
+  /** 120 base unit-ish vectors + 40 planted near-dups (cos ≈ 0.995). */
+  private lazy val embeddings = {
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextGaussian().toFloat)
+    }
+    val base = (0 until 120).map(i => (i.toLong, vec(i)))
+    val dups = (0 until 40).map { i =>
+      val r = new scala.util.Random(10000 + i)
+      val v = vec(i)
+      val d = v.map(x => x + 0.1f * r.nextGaussian().toFloat)
+      ((1000 + i).toLong, d)
+    }
+    (base ++ dups).toDF("vec_id", "embedding")
+  }
+
+  private def cosPairs(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+  test("embedding LSH bands: recall ≥ 0.9 vs brute-force high-cosine pairs") {
+    // ground truth: all pairs with cosine ≥ 0.9 by brute force
+    val v = embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def l2(a: org.apache.spark.sql.Column) =
+      sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val brute = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        (dot(col("a.e"), col("b.e")) / (l2(col("a.e")) * l2(col("b.e")))).as("cos"))
+      .filter(col("cos") >= 0.9)
+    val truth = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size >= 30, s"fixture must plant near-dups; got ${truth.size}")
+
+    val lshPairs = Similarity.embeddingCosinePairsFor(embeddings)
+    val found = cosPairs(lshPairs).keySet
+    val recall = (truth & found).size.toDouble / truth.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 (truth=${truth.size}, found overlap=${(truth & found).size})")
+    // and it is nowhere near all-pairs: candidate set ≪ n(n-1)/2
+    val n = embeddings.count()
+    assert(found.size < n * (n - 1) / 2 / 4, s"candidate set too dense: ${found.size}")
+  }
+}

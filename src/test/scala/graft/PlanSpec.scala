@@ -89,6 +89,44 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"unexpected plan:\n$p")
   }
 
+  test("S2/A6: vocabulary top-k plans TakeOrderedAndProject, never a no-partition Window") {
+    // the old shape funneled the whole vocabulary aggregate through ONE task
+    // (WindowExec: No Partition Defined); s2Kb is embedded in 8 oracled plans
+    for ((name, df) <- Seq("s2Kb" -> RelOps.s2Kb(spark, sf),
+                           "a6HotKeys" -> RelOps.a6HotKeys(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("TakeOrderedAndProject"), s"$name lost top-k shape:\n$p")
+      assert(!p.contains("Window"), s"$name has a window exec:\n$p")
+    }
+    // W3's rank over the k-row dict is a broadcast self-join, not a Window
+    assert(!plan(RelOps.w3RankPrior(spark, sf)).contains("Window"))
+  }
+
+  test("dedup shingles are exchange-free before the first aggregation") {
+    val p = plan(graft.ops.Dedup.shingles(spark, sf))
+    assert(!p.contains("Exchange"), s"shingle stage shuffles:\n$p")
+  }
+
+  test("scoring join degrades to ShuffledHashJoin when kbCtx is measured large") {
+    val src = CorpusGen.srcFiles(spark, 30).toDF()
+    val pl = Extract.perLine(src)
+    val mentions = Extract.mentionsFromLines(pl)
+    val dict = Candidates.dictionary(CorpusGen.kbEntries(spark).toDF())
+    val cands = Candidates.candidates(mentions, dict, broadcastDict = true)
+    val prevSmj = spark.conf.get("spark.sql.join.preferSortMergeJoin", "true")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    try {
+      val scored = graft.kg.Scoring.score(
+        mentions, cands, CorpusGen.kbContexts(spark).toDF(), Some(Extract.contexts(pl)),
+        broadcastKbCtx = false)
+      val p = plan(scored)
+      // the SHUFFLE_HASH hint overrides size-based broadcast: the kbCtx join
+      // must run as a shuffled hash join, and nothing may fall back to SMJ
+      assert(p.contains("ShuffledHashJoin"), s"no SHJ with broadcastKbCtx=false:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"SMJ in forced-large scoring plan:\n$p")
+    } finally spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
+  }
+
   test("E5 normalize is idempotent over camel/snake/dot surfaces") {
     import spark.implicits._
     val surfaces = Seq("AlphaBeta", "alpha_beta", "a.b.C", "getX_id", "ABC", "x__y",

@@ -53,6 +53,24 @@ class ExtractSpec extends AnyFunSuite {
     assert(!ctx.contains("provides")) // L0 is 3 lines away
   }
 
+  test("extractor gates are mutually exclusive: comment-first precedence") {
+    // A JS comment line that CONTAINS require(...) is a doc comment, not an
+    // import (oracle semantics: if comment / else-if import / else ident).
+    val f = SourceFile(
+      repo = "org0/repoY", path = "src/c.js", commit = "d" * 40, lang = "js",
+      content = Seq(
+        "// see require('kb/GammaDelta') for details",  // L0: comment ∧ import-shaped
+        "const GammaDelta = require('kb/GammaDelta')"   // L1: a real import
+      ).mkString("\n"))
+    val ms = Extract.mentions(Seq(f).toDS().toDF()).collect()
+      .map(r => (r.getAs[Int]("line"), r.getAs[String]("kind"), r.getAs[String]("surface"))).toSet
+    assert(ms == Set((0, "doccomment", "GammaDelta"), (1, "import", "GammaDelta")),
+      s"comment-first gating violated: $ms")
+    // parity with the independent oracle on the same fixture
+    val oracle = Oracle.extract(f).map(m => (m.line, m.kind, m.surface)).toSet
+    assert(ms == oracle, s"engine=$ms oracle=$oracle")
+  }
+
   test("E8: mention ids are unique per (file, line, kind, surface)") {
     val df = Extract.mentions(Seq(fixture, fixture.copy(path = "src/B.scala")).toDS().toDF())
     assert(df.select("mention_id").distinct().count() == df.count())

@@ -28,9 +28,11 @@ class PipelineSpec extends AnyFunSuite {
     Canonicalize.triples(Canonicalize.canonicalMentions(mentions, top1))
   }
 
-  private def collectTriples(df: DataFrame): Seq[(String, String, String)] =
-    df.select("subj", "pred", "obj").orderBy("subj", "pred", "obj")
-      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+  // conf included: the determinism/resume gates cover the full output row,
+  // not just the key (conf was previously partition-order-dependent).
+  private def collectTriples(df: DataFrame): Seq[(String, String, String, Double)] =
+    df.select("subj", "pred", "obj", "conf").orderBy("subj", "pred", "obj")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3))).toSeq
 
   test("P/R ≥ 0.95 vs generator gold") {
     val pr = Eval.precisionRecall(runInMemory(spark), CorpusGen.gold(spark, N).toDF()).collect()(0)
@@ -39,7 +41,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("P/R ≥ 0.95 vs the independent single-threaded oracle") {
-    val engine = collectTriples(runInMemory(spark)).toSet
+    val engine = collectTriples(runInMemory(spark)).map(t => (t._1, t._2, t._3)).toSet
     val oracle = Oracle.annotate(
       (0 until N).map(i => CorpusGen.genFile(i.toLong)._1),
       (1L to CorpusGen.NumEntities).map(CorpusGen.kbEntry),
@@ -51,7 +53,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("determinism: identical triples at shuffle.partitions 2 vs 13") {
-    def withParts(n: Int): Seq[(String, String, String)] = {
+    def withParts(n: Int): Seq[(String, String, String, Double)] = {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", n.toString)
       try collectTriples(runInMemory(spark))
@@ -88,6 +90,16 @@ class PipelineSpec extends AnyFunSuite {
         snapshot = Some(badSnap))
     }
     assert(ex.getMessage.contains("sha256 invariant"))
+  }
+
+  test("S4: gold scanned from parquet equals the generator gold; eval accepts a path") {
+    val goldPath = Files.createTempDirectory("gold_fix").toString + "/gold"
+    CorpusGen.gold(spark, N).toDF().write.mode("overwrite").parquet(goldPath)
+    val fromFile = Eval.goldFromParquet(spark, goldPath)
+    val gen = CorpusGen.gold(spark, N).toDF()
+    assert(fromFile.exceptAll(gen).count() == 0 && gen.exceptAll(fromFile).count() == 0)
+    val pr = Eval.precisionRecallFromPath(spark, runInMemory(spark), goldPath).collect()(0)
+    assert(pr.getAs[Double]("precision") >= 0.95 && pr.getAs[Double]("recall") >= 0.95)
   }
 
   test("generator determinism: same ids → byte-identical corpus") {

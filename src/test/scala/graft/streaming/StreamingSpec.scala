@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.SparkTestSession
-import graft.kg.{CorpusGen, Eval}
+import graft.kg.{Candidates, CorpusGen, Eval, Extract, Scoring}
 import java.nio.file.Files
 
 /** Structured Streaming specs: incremental KG construction over arriving
@@ -41,6 +41,30 @@ class StreamingSpec extends AnyFunSuite {
       val pr = Eval.precisionRecall(triples, gold).collect()(0)
       assert(pr.getAs[Double]("precision") >= 0.95 && pr.getAs[Double]("recall") >= 0.95,
         s"streaming P/R: $pr")
+
+      // global-IDF snapshot exactness: chunk-2 scores must equal the BATCH
+      // pipeline's scores over the full corpus (not micro-batch-local IDF) —
+      // the snapshot at batch 2 covers chunks 1+2 = everything the batch run
+      // sees, so the equality is exact, not approximate.
+      val src = spark.range(0, 120).map(id => CorpusGen.genFile(id)._1).toDF()
+      val pl = Extract.perLine(src)
+      val mentions = Extract.mentionsFromLines(pl)
+      val dict = Candidates.dictionary(kb)
+      val cands = Candidates.candidates(mentions, dict, broadcastDict = true)
+      val batchTop1 = Scoring.top1(
+        Scoring.score(mentions, cands, kbCtx, Some(Extract.contexts(pl))))
+      val chunk2Src = spark.range(60, 120).map(id => CorpusGen.genFile(id)._1).toDF()
+      val chunk2Ids = Extract.mentionsFromLines(Extract.perLine(chunk2Src))
+        .select("mention_id").distinct()
+      def scoreSet(df: org.apache.spark.sql.DataFrame) =
+        df.join(chunk2Ids, "mention_id")
+          .select("mention_id", "entity_id", "score").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val streamed2 = scoreSet(spark.read.parquet(s"$outDir/_scores"))
+      val batch2 = scoreSet(batchTop1)
+      assert(streamed2.nonEmpty && streamed2 == batch2,
+        s"chunk-2 stream scores diverge from batch: stream=${streamed2.size} batch=${batch2.size} " +
+        s"diff=${(streamed2 diff batch2).take(3)} / ${(batch2 diff streamed2).take(3)}")
     } finally q.stop()
   }
 
