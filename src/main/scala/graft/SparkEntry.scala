@@ -87,6 +87,7 @@ object SparkEntry {
     "sim_brute_topk"     -> ((s: SparkSession, dir: String) => Similarity.bruteForceTopK(s, dir)),
     "sim_lsh_buckets"    -> Similarity.lshBuckets _,
     "sim_lsh_topk"       -> ((s: SparkSession, dir: String) => Similarity.lshTopK(s, dir)),
+    "sim_lsh_multiprobe_topk" -> ((s: SparkSession, dir: String) => Similarity.lshMultiProbeTopK(s, dir)),
     // text analysis
     "text_langid"        -> TextAnalysis.langId _,
     "text_quality"       -> TextAnalysis.quality _,
@@ -426,6 +427,25 @@ object SparkEntry {
          |bk AS (SELECT vec_id, CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT) AS bucket FROM sg GROUP BY vec_id),
          |q AS (SELECT vec_id AS q_id, bucket FROM bk WHERE vec_id < 5),
          |cand AS (SELECT q.q_id, v.vec_id FROM q JOIN bk v ON v.bucket = q.bucket AND v.vec_id <> q.q_id),
+         |dots AS (SELECT c.q_id, c.vec_id, sum(a.x * b.x) AS dot
+         |         FROM cand c JOIN ex a ON a.vec_id = c.q_id JOIN ex b ON b.vec_id = c.vec_id AND b.pos = a.pos
+         |         GROUP BY c.q_id, c.vec_id),
+         |sc AS (SELECT dots.q_id, dots.vec_id, round(dot / (nq.n * nv.n), 6) AS cos6
+         |       FROM dots JOIN norms nq ON dots.q_id = nq.vec_id JOIN norms nv ON dots.vec_id = nv.vec_id),
+         |r AS (SELECT q_id, vec_id, cos6, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, vec_id) AS INT) AS rnk FROM sc)
+         |SELECT q_id, vec_id, rnk, round(cos6, 4) AS cos FROM r WHERE rnk <= 5""".stripMargin,
+    "sim_lsh_multiprobe_topk" ->
+      s"""WITH $EmbEx,
+         |coef AS (SELECT p.plane, d.dim, CASE WHEN substr(md5(CAST(p.plane AS VARCHAR) || '_' || CAST(d.dim AS VARCHAR)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END AS coef
+         |         FROM (SELECT CAST(unnest(range(8)) AS INT) AS plane) p CROSS JOIN (SELECT CAST(unnest(range(64)) AS INT) AS dim) d),
+         |sg AS (SELECT vec_id, plane, sum(x * coef) AS s FROM ex JOIN coef ON ex.pos = coef.dim GROUP BY vec_id, plane),
+         |bk AS (SELECT vec_id, CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT) AS bucket FROM sg GROUP BY vec_id),
+         |q AS (SELECT vec_id AS q_id, bucket FROM bk WHERE vec_id < 5),
+         |probes AS (SELECT q_id, bucket FROM q
+         |           UNION ALL
+         |           SELECT q_id, xor(bucket, (1::BIGINT << bit)) AS bucket
+         |           FROM q CROSS JOIN (SELECT CAST(unnest(range(8)) AS INT) AS bit)),
+         |cand AS (SELECT DISTINCT p.q_id, v.vec_id FROM probes p JOIN bk v ON v.bucket = p.bucket AND v.vec_id <> p.q_id),
          |dots AS (SELECT c.q_id, c.vec_id, sum(a.x * b.x) AS dot
          |         FROM cand c JOIN ex a ON a.vec_id = c.q_id JOIN ex b ON b.vec_id = c.vec_id AND b.pos = a.pos
          |         GROUP BY c.q_id, c.vec_id),

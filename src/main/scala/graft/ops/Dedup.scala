@@ -66,13 +66,28 @@ object Dedup {
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     minhashPairsFor(Tables.documents(spark, dir))
 
-  def minhashPairsFor(docs: DataFrame): DataFrame = {
-    val sigs = minhashSignaturesFor(docs)
+  /** `maxBucket` is the hot-bucket guard for the band self-join: a (band,
+    * sig) bucket of m docs emits m(m-1)/2 pairs, so one mega-bucket (usually
+    * an exact-duplicate cluster that should have been collapsed by [[exact]]
+    * FIRST — the pipeline order is exact-dedup → near-dedup) can dominate a
+    * whole run quadratically. Buckets above the cap are excluded from
+    * pairing (measured per run, like the candidate join's hot-key set); the
+    * default keeps the oracled semantics exact at test scale. */
+  def minhashPairsFor(docs: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val sigs0 = minhashSignaturesFor(docs)
       .withColumn("band", shiftright(col("seed"), 1))
       .groupBy(col("doc_id"), col("band"))
       .agg(concat_ws("|",
         min(when(col("seed") % 2 === 0, col("minhash"))),
         min(when(col("seed") % 2 === 1, col("minhash")))).as("sig"))
+    val sigs =
+      if (maxBucket == Int.MaxValue) sigs0
+      else {
+        val small = sigs0.groupBy(col("band"), col("sig"))
+          .agg(count(lit(1)).as("bucket_n")).filter(col("bucket_n") <= maxBucket)
+          .select(col("band"), col("sig"))
+        sigs0.join(small, Seq("band", "sig"), "left_semi")
+      }
     sigs.as("a").join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") < col("b.doc_id"))

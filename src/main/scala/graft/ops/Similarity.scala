@@ -107,8 +107,12 @@ object Similarity {
                .substr(1, 1) >= "8", lit(1.0)).otherwise(lit(-1.0)).as("coef"))
 
   /** LSH bucket signature per vector: 8 hyperplane sign bits → bucket id. */
-  def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val ex = Tables.embeddings(spark, dir)
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+    lshBucketsFor(Tables.embeddings(spark, dir))
+
+  def lshBucketsFor(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val ex = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
       .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
     val s = ex.join(broadcast(planes(spark, 8, 64)), "dim")
@@ -117,11 +121,32 @@ object Similarity {
       .agg(sum(when(col("s") >= 0, pow(lit(2), col("plane")).cast("long")).otherwise(0L)).as("bucket"))
   }
 
-  /** ANN: top-k within the query's LSH bucket (the scale path). */
-  def lshTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val v = vecs(spark, dir).join(lshBuckets(spark, dir), "vec_id")
-    val q = v.filter(col("vec_id") < 5)
+  /** ANN: top-k within the query's LSH bucket(s) (the scale path).
+    *
+    * `multiProbe = true` additionally probes every bucket at Hamming
+    * distance 1 from the query's signature (flip each of the 8 sign bits) —
+    * the standard multi-probe LSH recall repair: a near-neighbour lost to a
+    * single boundary sign-flip is recovered at ≤9× candidate cost, with no
+    * extra tables and no change to the shuffle key. Each data vector lives
+    * in exactly one bucket, so the probe union yields no duplicate
+    * candidates. */
+  def lshTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    lshTopKFor(Tables.embeddings(spark, dir), k, multiProbe = false)
+
+  def lshMultiProbeTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    lshTopKFor(Tables.embeddings(spark, dir), k, multiProbe = true)
+
+  def lshTopKFor(emb: DataFrame, k: Int = 5, multiProbe: Boolean = false): DataFrame = {
+    val v = vecsFor(emb).join(lshBucketsFor(emb), "vec_id")
+    val q0 = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("bucket"))
+    val q =
+      if (!multiProbe) q0
+      else q0.select(col("q_id"), col("qe"),
+        explode(concat(
+          array(col("bucket")),
+          transform(sequence(lit(0), lit(7)),
+                    b => col("bucket").bitwiseXOR(pow(lit(2), b).cast("long"))))).as("bucket"))
     val cand = v.join(q, Seq("bucket")).filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(dot(col("qe"), col("e")) / (l2(col("qe")) * l2(col("e"))), 6).as("cos6"))

@@ -76,6 +76,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
   private def cosPairs(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
 
+  test("hot-bucket guard: an exact-dup mega-cluster is excluded from band pairing") {
+    // 30 identical docs would otherwise emit 30·29/2 = 435 pairs per band
+    val mega = (0 until 30).map(i => (i.toLong, sentence(7, 40))) ++
+               Seq((500L, sentence(8, 40)), (501L, sentence(9, 40)))
+    val df = mega.toDF("doc_id", "text")
+    val unguarded = Dedup.minhashPairsFor(df).count()
+    assert(unguarded >= 435, s"mega-cluster should pair quadratically unguarded: $unguarded")
+    val guarded = Dedup.minhashPairsFor(df, maxBucket = 10).count()
+    assert(guarded == 0, s"capped buckets must not pair: $guarded")
+    // the cap does not disturb normal near-dup discovery
+    assert(Dedup.minhashPairsFor(docs, maxBucket = 10).as[(Long, Long)].collect().toSet ==
+           Dedup.minhashPairsFor(docs).as[(Long, Long)].collect().toSet)
+  }
+
+  test("multi-probe LSH: superset of single-probe candidates, better near-dup recall") {
+    val single = Similarity.lshTopKFor(embeddings, k = 3, multiProbe = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.lshTopKFor(embeddings, k = 3, multiProbe = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // queries are vec_id 0..4; their planted near-dups are 1000..1004 — the
+    // true rank-1 neighbour. Multi-probe must find at least as many of them.
+    def hits(s: Set[(Long, Long)]) = (0 until 5).count(i => s.contains((i.toLong, (1000 + i).toLong)))
+    assert(hits(multi) >= hits(single), s"multi=$multi vs single=$single")
+    assert(hits(multi) >= 4, s"multi-probe should recover ≥4/5 planted rank-1 neighbours, got ${hits(multi)}")
+  }
+
   test("embedding LSH bands: recall ≥ 0.9 vs brute-force high-cosine pairs") {
     // ground truth: all pairs with cosine ≥ 0.9 by brute force
     val v = embeddings.select(col("vec_id"),
