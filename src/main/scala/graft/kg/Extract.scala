@@ -44,12 +44,14 @@ object Extract {
   private def isImport: Column  = col("line").rlike(importRe)
 
   /** E2 surfaces: identifiers from code lines (comment/import lines excluded —
-    * a lexer does not tokenize those as identifiers). Gating the regexp INPUT
-    * (empty string on other line kinds) yields an empty array with no casts. */
+    * a lexer does not tokenize those as identifiers). Gating the tokenizer
+    * INPUT (empty string on other line kinds) yields an empty array with no
+    * casts. The tokenizer is the native codegen'd scan (≡ regexp IdentRe,
+    * case preserved — property-tested in CodeTokensSpec). */
   private def identSurfaces: Column =
     array_except(
-      regexp_extract_all(when(!isComment && !isImport, col("line")).otherwise(lit("")),
-                         lit(IdentRe), lit(0)),
+      graft.functions.CodeTokenizer.codeTokens(
+        when(!isComment && !isImport, col("line")).otherwise(lit("")), lowerOutput = false),
       array(Keywords.map(lit): _*))
 
   /** E3 surfaces: CamelCase entity references inside doc-comment lines. */
@@ -116,7 +118,8 @@ object Extract {
               col("pl.ctx_text").as("ctx_text"))
       .select(col("repo"), col("path"), col("commit"), col("line_no"),
               array_distinct(mentionArray).as("ms"),  // in-row dedup: ids are unique by construction
-              regexp_extract_all(lower(col("ctx_text")), lit("[a-z_][a-z0-9_]{2,}"), lit(0)).as("ctx_terms"))
+              // native codegen'd tokenizer — ≡ regexp_extract_all(lower(_), IdentRe)
+              graft.functions.CodeTokenizer.codeTokens(col("ctx_text")).as("ctx_terms"))
       .filter(size(col("ms")) > 0)
       .withColumn("ctx_id", xxhash64(col("repo"), col("path"), col("commit"), col("line_no")))
   }

@@ -24,8 +24,11 @@ object DocOps {
   /** Keyword stoplist applied to identifier mentions (SURVEY.md E2). */
   val Stoplist: Seq[String] = Seq("the", "and", "for", "not")
 
-  /** Tokenize: lowercase then extract identifier-shaped tokens. */
-  def tokens(c: Column): Column = regexp_extract_all(lower(c), lit(IdentRe), lit(0))
+  /** Tokenize: lowercase then extract identifier-shaped tokens. Runs as the
+    * native codegen'd scan [[graft.functions.CodeTokens]] — semantics are
+    * exactly `regexp_extract_all(lower(c), IdentRe, 0)` (property-tested in
+    * CodeTokensSpec; the DuckDB oracles keep the regexp form). */
+  def tokens(c: Column): Column = graft.functions.CodeTokenizer.codeTokens(c)
 
   // --------------------------------------------------------------------------
   // S1: corpus scan — documents reinterpreted as src_files(repo,path,commit,lang,content)

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.CodeTokenizer.codeTokens
+import graft.kg.CorpusGen
+
+/** The native code_tokens expression must be indistinguishable from the
+  * regexp tokenizer it replaces — on the corpus, on driver testdata, on
+  * adversarial strings, and on seeded random inputs. */
+class CodeTokensSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def regexLower(c: org.apache.spark.sql.Column) =
+    regexp_extract_all(lower(c), lit("[a-z_][a-z0-9_]{2,}"), lit(0))
+  private def regexMixed(c: org.apache.spark.sql.Column) =
+    regexp_extract_all(c, lit("[A-Za-z_][A-Za-z0-9_]{2,}"), lit(0))
+
+  private def assertEqualOn(strings: Seq[String]): Unit = {
+    val df = strings.toDF("s")
+      .select(codeTokens(col("s")).as("fast"), regexLower(col("s")).as("slow"),
+              codeTokens(col("s"), lowerOutput = false).as("fastM"), regexMixed(col("s")).as("slowM"))
+    val bad = df.filter(col("fast") =!= col("slow") || col("fastM") =!= col("slowM")).collect()
+    assert(bad.isEmpty, s"tokenizer divergence on: ${bad.take(3).mkString(" | ")}")
+  }
+
+  test("adversarial fixtures: digit-led runs, short runs, underscores, unicode, empties") {
+    assertEqualOn(Seq(
+      "", " ", "ab", "abc", "a_b", "___", "__", "12abc", "9a1", "11ab", "1ab2",
+      "x1y2z3", "ABC", "AbC_d9", "foo.bar_baz", "a-b_c", "tab\there", "line\nbreak",
+      "émigré café 中文 naïve", "é_abc_é", "mix3d_CASE_Token", "_x_", "get0",
+      "a" * 100, "_" * 3 + "9" * 5, "0_ab", "ab_0", "x__", "3_3_3a", "π≈3_14"))
+  }
+
+  test("corpus + testdata parity (every content line and every document)") {
+    val corpus = CorpusGen.srcFiles(spark, 80).collect().flatMap(_.content.split("\n")).toSeq
+    assertEqualOn(corpus)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).as[String].collect().toSeq
+    assertEqualOn(docs)
+  }
+
+  test("property: equal on 500 seeded random strings over a token-ish alphabet") {
+    val alphabet = "abcXYZ019__  ..\n\t-éπ!".toCharArray
+    val r = new scala.util.Random(4242L)
+    (0 until 500).foreach { _ =>
+      val s = Array.fill(r.nextInt(60))(alphabet(r.nextInt(alphabet.length))).mkString
+      // driver-side check (no Spark job per case): compare via local eval
+      val fast = graft.functions.CodeTokenizer
+        .tokenize(org.apache.spark.unsafe.types.UTF8String.fromString(s), true)
+        .toArray[AnyRef](org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      val slow = "[a-z_][a-z0-9_]{2,}".r.findAllIn(s.toLowerCase).toSeq
+      assert(fast == slow, s"on <$s>")
+    }
+  }
+
+  test("code_tokens stays inside whole-stage codegen") {
+    val df = spark.range(100)
+      .select(concat(lit("val x_"), col("id").cast("string"), lit(" = alpha beta_gamma")).as("s"))
+      .select(codeTokens(col("s")).as("t"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1)") && p.contains("code_tokens"),
+      s"no codegen span with code_tokens:\n$p")
+  }
+}
