@@ -88,6 +88,7 @@ object SparkEntry {
     "sim_lsh_buckets"    -> Similarity.lshBuckets _,
     "sim_lsh_topk"       -> ((s: SparkSession, dir: String) => Similarity.lshTopK(s, dir)),
     "sim_lsh_multiprobe_topk" -> ((s: SparkSession, dir: String) => Similarity.lshMultiProbeTopK(s, dir)),
+    "sim_ivf_topk"       -> ((s: SparkSession, dir: String) => Similarity.ivfTopK(s, dir)),
     // text analysis
     "text_langid"        -> TextAnalysis.langId _,
     "text_quality"       -> TextAnalysis.quality _,
@@ -446,6 +447,28 @@ object SparkEntry {
          |           SELECT q_id, xor(bucket, (1::BIGINT << bit)) AS bucket
          |           FROM q CROSS JOIN (SELECT CAST(unnest(range(8)) AS INT) AS bit)),
          |cand AS (SELECT DISTINCT p.q_id, v.vec_id FROM probes p JOIN bk v ON v.bucket = p.bucket AND v.vec_id <> p.q_id),
+         |dots AS (SELECT c.q_id, c.vec_id, sum(a.x * b.x) AS dot
+         |         FROM cand c JOIN ex a ON a.vec_id = c.q_id JOIN ex b ON b.vec_id = c.vec_id AND b.pos = a.pos
+         |         GROUP BY c.q_id, c.vec_id),
+         |sc AS (SELECT dots.q_id, dots.vec_id, round(dot / (nq.n * nv.n), 6) AS cos6
+         |       FROM dots JOIN norms nq ON dots.q_id = nq.vec_id JOIN norms nv ON dots.vec_id = nv.vec_id),
+         |r AS (SELECT q_id, vec_id, cos6, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, vec_id) AS INT) AS rnk FROM sc)
+         |SELECT q_id, vec_id, rnk, round(cos6, 4) AS cos FROM r WHERE rnk <= 5""".stripMargin,
+    "sim_ivf_topk" ->
+      s"""WITH $EmbEx,
+         |cents AS (SELECT vec_id AS cell, pos, x FROM ex WHERE vec_id < 16),
+         |cnorm AS (SELECT cell, sqrt(sum(x*x)) AS cn FROM cents GROUP BY cell),
+         |aff AS (SELECT e.vec_id, c.cell, round(sum(e.x * c.x) / (n.n * cn.cn), 9) AS aff
+         |        FROM ex e JOIN cents c ON e.pos = c.pos
+         |        JOIN norms n ON e.vec_id = n.vec_id JOIN cnorm cn ON c.cell = cn.cell
+         |        GROUP BY e.vec_id, c.cell, n.n, cn.cn),
+         |cells AS (SELECT vec_id, cell FROM (
+         |            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell) AS rn FROM aff)
+         |          WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, cell FROM (
+         |             SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell) AS rn FROM aff WHERE vec_id < 5)
+         |           WHERE rn <= 2),
+         |cand AS (SELECT p.q_id, v.vec_id FROM probes p JOIN cells v ON v.cell = p.cell AND v.vec_id <> p.q_id),
          |dots AS (SELECT c.q_id, c.vec_id, sum(a.x * b.x) AS dot
          |         FROM cand c JOIN ex a ON a.vec_id = c.q_id JOIN ex b ON b.vec_id = c.vec_id AND b.pos = a.pos
          |         GROUP BY c.q_id, c.vec_id),

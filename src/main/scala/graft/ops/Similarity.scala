@@ -17,10 +17,13 @@ import graft.Tables
   *    baseline, linear scan, embarrassingly parallel;
   *  - LSH-bucketed ANN: 8 deterministic hyperplanes (signs derived from
   *    md5(plane_dim)) → 256 buckets → candidate join restricted to equal
-  *    buckets. At 10^12 rows this is the path: bucket id is the shuffle key
-  *    and each bucket's candidate set is small and independent. An IVF
-  *    variant would swap the hyperplane signature for a learned centroid id —
-  *    same plumbing.
+  *    buckets; multi-probe (Hamming-1 bucket flips) repairs boundary recall.
+  *    At 10^12 rows this is the path: bucket id is the shuffle key and each
+  *    bucket's candidate set is small and independent;
+  *  - IVF ANN: centroid cells instead of hyperplane signatures — identical
+  *    plumbing with `nprobe` best-cell probing (ivfTopK);
+  *  - banded LSH near-dup pairs (4×8 hyperplanes) for the dedup operator —
+  *    similarity-preserving candidates, never all-pairs.
   */
 object Similarity {
 
@@ -135,6 +138,49 @@ object Similarity {
 
   def lshMultiProbeTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
     lshTopKFor(Tables.embeddings(spark, dir), k, multiProbe = true)
+
+  /** IVF (inverted-file) ANN — the centroid-bucket alternative to LSH with
+    * identical plumbing: the cell id replaces the hyperplane signature as
+    * the shuffle key. Centroids are a deterministic subset of the data
+    * (vec_id < nCells — a real deployment would k-means them; the
+    * assignment/probe/search plumbing is what matters and is identical).
+    * Every vector is assigned to its max-cosine centroid; a query probes its
+    * `nprobe` best cells, then exact cosine top-k within the probed cells.
+    */
+  def ivfCellsFor(emb: DataFrame, nCells: Int = 16): DataFrame = {
+    val v = vecsFor(emb)
+    val cents = v.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("e").as("ce"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("aff").desc, col("cell").asc)
+    v.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("cell"),
+        round(dot(col("e"), col("ce")) / (l2(col("e")) * l2(col("ce"))), 9).as("aff"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"))
+  }
+
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 5, nprobe: Int = 2): DataFrame =
+    ivfTopKFor(Tables.embeddings(spark, dir), k, nprobe)
+
+  def ivfTopKFor(emb: DataFrame, k: Int = 5, nprobe: Int = 2, nCells: Int = 16): DataFrame = {
+    val v = vecsFor(emb).join(ivfCellsFor(emb, nCells), "vec_id")
+    val cents = vecsFor(emb).filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("e").as("ce"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("aff").desc, col("cell").asc)
+    val probes = vecsFor(emb).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      .join(broadcast(cents), lit(true))
+      .select(col("q_id"), col("qe"), col("cell"),
+        round(dot(col("qe"), col("ce")) / (l2(col("qe")) * l2(col("ce"))), 9).as("aff"))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("qe"), col("cell"))
+    val cand = v.join(probes, Seq("cell")).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qe"), col("e")) / (l2(col("qe")) * l2(col("e"))), 6).as("cos6"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("vec_id").asc)
+    cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rnk"), round(col("cos6"), 4).as("cos"))
+  }
 
   def lshTopKFor(emb: DataFrame, k: Int = 5, multiProbe: Boolean = false): DataFrame = {
     val v = vecsFor(emb).join(lshBucketsFor(emb), "vec_id")

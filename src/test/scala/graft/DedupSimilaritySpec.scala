@@ -102,6 +102,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hits(multi) >= 4, s"multi-probe should recover ≥4/5 planted rank-1 neighbours, got ${hits(multi)}")
   }
 
+  test("IVF ANN: every vector lands in exactly one cell; planted dups found via probed cells") {
+    val cells = Similarity.ivfCellsFor(embeddings)
+    assert(cells.count() == embeddings.count())
+    assert(cells.select("vec_id").distinct().count() == embeddings.count())
+    val top = Similarity.ivfTopKFor(embeddings, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // queries 0..4 have planted near-dups 1000..1004 (cos ≈ 0.995): a
+    // near-identical vector lands in the query's own cell, so nprobe≥1 finds it
+    val hits = (0 until 5).count(i => top.contains((i.toLong, (1000 + i).toLong)))
+    assert(hits >= 4, s"IVF should recover ≥4/5 planted rank-1 neighbours, got $hits ($top)")
+  }
+
   test("embedding LSH bands: recall ≥ 0.9 vs brute-force high-cosine pairs") {
     // ground truth: all pairs with cosine ≥ 0.9 by brute force
     val v = embeddings.select(col("vec_id"),
