@@ -105,12 +105,28 @@ final class Pipeline(io: TableIO, runId: String, resume: Boolean = false) {
   }
 }
 
-/** spark-submit entry point: `graft.kg.Pipeline nFiles ckptDir [--resume runId]`. */
+/** spark-submit entry point:
+  * `graft.kg.Pipeline nFiles ckptDir [--resume]
+  *    [--input srcParquet] [--kb kbParquet] [--kbctx ctxParquet] [--gold goldParquet]`
+  *
+  * Without path flags the deterministic synthetic corpus/KB drive the run
+  * (sandbox mode); with them the pipeline ingests REAL tables of the
+  * input_hint shape — src_files(repo,path,commit,lang,content),
+  * kb(entity_id,label,aliases,prior), kb_ctx(entity_id,term,weight),
+  * gold(repo,path,commit,line,kind,surface,entity_id) — which is how a user
+  * of the reference points the engine at their own corpus and gold files. */
 object Pipeline {
   def main(args: Array[String]): Unit = {
-    val nFiles = if (args.length > 0) args(0).toInt else 2000
-    val ckpt = if (args.length > 1) args(1) else "target/pipeline_ckpt"
+    val valueFlags = Set("--input", "--kb", "--kbctx", "--gold")
+    val pos = args.indices
+      .filter(i => !args(i).startsWith("--") && (i == 0 || !valueFlags.contains(args(i - 1))))
+      .map(args)
+    val nFiles = if (pos.length > 0) pos(0).toInt else 2000
+    val ckpt = if (pos.length > 1) pos(1) else "target/pipeline_ckpt"
     val resume = args.contains("--resume")
+    def flag(name: String): Option[String] = {
+      val i = args.indexOf(name); if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -131,18 +147,27 @@ object Pipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val pipe = new Pipeline(new ParquetTableIO(ckpt), runId = s"run-$nFiles", resume = resume)
+      val src   = flag("--input").map(spark.read.parquet(_))
+        .getOrElse(CorpusGen.srcFiles(spark, nFiles).toDF())
+      val kb    = flag("--kb").map(spark.read.parquet(_))
+        .getOrElse(CorpusGen.kbEntries(spark).toDF())
+      val kbCtx = flag("--kbctx").map(spark.read.parquet(_))
+        .getOrElse(CorpusGen.kbContexts(spark).toDF())
+      val snapshot = if (flag("--input").isDefined) None
+                     else Some(CorpusGen.fileShas(spark, nFiles).toDF())
+      val runId = flag("--input").map(p => s"run-$p").getOrElse(s"run-$nFiles")
+      val pipe = new Pipeline(new ParquetTableIO(ckpt), runId = runId, resume = resume)
       val t0 = System.nanoTime()
-      val triples = pipe.run(spark,
-        CorpusGen.srcFiles(spark, nFiles).toDF(),
-        CorpusGen.kbEntries(spark).toDF(),
-        CorpusGen.kbContexts(spark).toDF(),
-        snapshot = Some(CorpusGen.fileShas(spark, nFiles).toDF()))
+      val triples = pipe.run(spark, src, kb, kbCtx, snapshot = snapshot)
       val n = triples.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      // S4 exercised for real: gold goes to storage first, eval reads the files
-      val goldPath = s"$ckpt/gold_fixture"
-      CorpusGen.gold(spark, nFiles).toDF().write.mode("overwrite").parquet(goldPath)
+      // S4 exercised for real: gold is read from storage (user-supplied via
+      // --gold, or the generator fixture materialized first)
+      val goldPath = flag("--gold").getOrElse {
+        val p = s"$ckpt/gold_fixture"
+        CorpusGen.gold(spark, nFiles).toDF().write.mode("overwrite").parquet(p)
+        p
+      }
       val pr = Eval.precisionRecallFromPath(spark, triples, goldPath).collect()(0)
       println(f"triples=$n wall=$sec%.2fs thr=${n / sec}%.0f triples/sec " +
               f"precision=${pr.getAs[Double]("precision")}%.4f recall=${pr.getAs[Double]("recall")}%.4f")

@@ -55,6 +55,26 @@ class CodeTokensSpec extends AnyFunSuite {
     }
   }
 
+  test("code_tokens is SQL-callable (GraftExtensions registration shape)") {
+    // a fresh SparkContext per test is not possible, so register on a cloned
+    // session through the same builder GraftExtensions injects (the
+    // extensions class itself is exercised against a real
+    // SparkSessionExtensions instance below)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext) // must not throw
+    val s2 = spark.newSession()
+    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "code_tokens",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.CodeTokens(children.head),
+      "built-in")
+    val r = s2.sql("SELECT code_tokens('Val Alpha_Beta = 12ab x9') AS t")
+      .collect()(0).getSeq[String](0)
+    // lower("Val Alpha_Beta = 12ab x9") → val, alpha_beta; "12ab" clips to
+    // "ab" (<3) and "x9" is too short — both dropped, exactly like the regexp
+    assert(r == Seq("val", "alpha_beta"), s"got $r")
+  }
+
   test("code_tokens stays inside whole-stage codegen") {
     val df = spark.range(100)
       .select(concat(lit("val x_"), col("id").cast("string"), lit(" = alpha beta_gamma")).as("s"))

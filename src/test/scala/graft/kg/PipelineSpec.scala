@@ -102,6 +102,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(pr.getAs[Double]("precision") >= 0.95 && pr.getAs[Double]("recall") >= 0.95)
   }
 
+  test("path ingestion: the pipeline over parquet-backed src/kb/ctx tables matches in-memory") {
+    val base = Files.createTempDirectory("graft_paths").toString
+    CorpusGen.srcFiles(spark, N).toDF().write.mode("overwrite").parquet(s"$base/src")
+    CorpusGen.kbEntries(spark).toDF().write.mode("overwrite").parquet(s"$base/kb")
+    CorpusGen.kbContexts(spark).toDF().write.mode("overwrite").parquet(s"$base/ctx")
+    val io = new ParquetTableIO(s"$base/ckpt")
+    val triples = new Pipeline(io, "paths-run").run(spark,
+      spark.read.parquet(s"$base/src"),
+      spark.read.parquet(s"$base/kb"),
+      spark.read.parquet(s"$base/ctx"))
+    assert(collectTriples(triples) == collectTriples(runInMemory(spark)))
+  }
+
   test("generator determinism: same ids → byte-identical corpus") {
     val a = CorpusGen.srcFiles(spark, 50).collect().sortBy(f => (f.repo, f.path))
     val b = CorpusGen.srcFiles(spark, 50).collect().sortBy(f => (f.repo, f.path))
