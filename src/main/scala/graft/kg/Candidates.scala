@@ -30,14 +30,25 @@ object Candidates {
       .filter(col("cnt") > threshold)
       .select(col("norm").as("hot_norm"))
 
-  /** J1/J2: candidate pairs (mention_id, entity_id, prior). */
+  /** J1/J2: candidate pairs (mention_id, ctx_id, entity_id, prior).
+    *
+    * ctx_id rides through the join (when the mention frame carries it) so
+    * the scoring stage can go straight to the context level WITHOUT
+    * re-joining the two largest tables of the pipeline (mentions ⋈
+    * candidates on mention_id was two exchanges + a shuffle join of ~N_mention
+    * rows each — measured the dominant part of stage 3). */
   def candidates(mentions: DataFrame, dict: DataFrame,
                  broadcastDict: Boolean, saltR: Int = 8,
                  hotThreshold: Long = 10000L): DataFrame = {
-    val m = mentions.select(col("mention_id"), col("norm"))
+    val carryCtx = mentions.columns.contains("ctx_id")
+    val mCols = if (carryCtx) Seq(col("mention_id"), col("ctx_id"), col("norm"))
+                else Seq(col("mention_id"), col("norm"))
+    val outCols = if (carryCtx) Seq(col("mention_id"), col("ctx_id"), col("entity_id"), col("prior"))
+                  else Seq(col("mention_id"), col("entity_id"), col("prior"))
+    val m = mentions.select(mCols: _*)
     if (broadcastDict) {
       m.join(broadcast(dict), col("norm") === col("norm_key"), "inner")
-        .select(col("mention_id"), col("entity_id"), col("prior"))
+        .select(outCols: _*)
     } else {
       val hot = hotKeys(m, hotThreshold)
       val mHot  = m.join(broadcast(hot), col("norm") === col("hot_norm"), "left_semi")
@@ -48,8 +59,7 @@ object Candidates {
         .withColumn("msalt", pmod(xxhash64(col("mention_id")), lit(saltR.toLong)).cast("int"))
         .join(dictHot, col("norm") === col("norm_key") && col("msalt") === col("salt"), "inner")
       val coldJoin = mCold.join(dict, col("norm") === col("norm_key"), "inner")
-      hotJoin.select(col("mention_id"), col("entity_id"), col("prior"))
-        .unionByName(coldJoin.select(col("mention_id"), col("entity_id"), col("prior")))
+      hotJoin.select(outCols: _*).unionByName(coldJoin.select(outCols: _*))
     }
   }
 

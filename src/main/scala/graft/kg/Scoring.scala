@@ -74,7 +74,6 @@ object Scoring {
             broadcastKbCtx: Boolean = true,
             approxIdf: Boolean = false,
             idfOverride: Option[DataFrame] = None): DataFrame = {
-    val m = mentions.select(col("mention_id"), col("ctx_id"))
 
     // distinct line contexts, hash-partitioned by ctx_id up front — the one
     // explicit exchange of the COMPACT rows (terms still in arrays); the tf
@@ -116,16 +115,41 @@ object Scoring {
     // kbCtx joins left-outer so ALL context terms flow through one groupBy,
     // which emits the dot product and the context norm together (A3+A4 in a
     // single pass over the big side — no separate norm aggregation).
-    val pairs = candidates.join(m, "mention_id")
-    val ctxEntity = pairs.select(col("ctx_id"), col("entity_id")).distinct()
-    val dotNorm = ctxEntity.join(wM, "ctx_id")
-      .join(maybeBcast(kbCtx), Seq("entity_id", "term"), "left_outer")
+    //
+    // pairs: when the candidate table already carries ctx_id (the pipeline
+    // path — Candidates passes it through the dictionary join), the
+    // mentions ⋈ candidates re-join on mention_id is skipped entirely: that
+    // join shuffled the two largest tables of the pipeline.
+    val pairs =
+      if (candidates.columns.contains("ctx_id"))
+        candidates.select(col("mention_id"), col("ctx_id"), col("entity_id"), col("prior"))
+      else candidates.join(mentions.select(col("mention_id"), col("ctx_id")), "mention_id")
+    // distinct (ctx, entity) pairs, pre-partitioned by ctx_id alone: the
+    // ctx_id hash partitioning satisfies the distinct's clustered
+    // distribution (subset of keys) AND the downstream wM join — one
+    // exchange instead of two
+    val ctxEntity = pairs.select(col("ctx_id"), col("entity_id"))
+      .repartition(col("ctx_id")).dropDuplicates("ctx_id", "entity_id")
+    // The dot product only needs terms that exist in SOME entity vector, so
+    // the fan-out join (ctx × candidate-entity × term — the widest stream of
+    // the stage) is pruned to the KB vocabulary by a broadcast semi-join
+    // first: at open-vocabulary corpus scale the context vocabulary is
+    // ~10^8-10^9 terms while the KB vocabulary is orders smaller, and
+    // without the prune every context term rides through the per-candidate
+    // fan-out. The context L2 norm still needs ALL terms — computed in a
+    // separate exchange-free aggregation over the already-ctx_id-partitioned
+    // wM stream (tiny output, map-side combined).
+    val kbTerms = kbCtx.select(col("term")).distinct()
+    val wMKb = wM.join(broadcast(kbTerms), Seq("term"), "left_semi")
+    val mNorm = wM.groupBy(col("ctx_id")).agg(sqrt(sum(col("wm") * col("wm"))).as("m_norm"))
+    // inner join now: a (ctx, entity) pair with no shared term simply gets no
+    // row, exactly like the old left-outer + filter(dot > 0) (all weights > 0)
+    val dots = ctxEntity.join(wMKb, "ctx_id")
+      .join(maybeBcast(kbCtx), Seq("entity_id", "term"), "inner")
       .groupBy(col("ctx_id"), col("entity_id"))
-      .agg(sum(col("wm") * coalesce(col("weight"), lit(0.0))).as("dot"),
-           sqrt(sum(col("wm") * col("wm"))).as("m_norm"))
-    // dot = 0 ⇔ no shared term — those pairs fall back to the prior (W3),
-    // exactly as when the inner-join variant produced no row at all
-    val cosine = dotNorm.filter(col("dot") > 0)
+      .agg(sum(col("wm") * col("weight")).as("dot"))
+    val cosine = dots.filter(col("dot") > 0)
+      .join(mNorm, "ctx_id")
       .join(maybeBcast(eNorm), "entity_id")
       .select(col("ctx_id"), col("entity_id"),
               (col("dot") / (col("m_norm") * col("e_norm"))).as("cos"))
