@@ -98,6 +98,10 @@ object SparkEntry {
     "mm_binary_meta"     -> Multimodal.binaryMeta _,
     "mm_decode_stub"     -> ((s: SparkSession, dir: String) =>
       Multimodal.fakeDecode(Multimodal.binaryMeta(s, dir))),
+    "mm_resize_meta"     -> ((s: SparkSession, dir: String) =>
+      Multimodal.resizeMeta(Multimodal.binaryMeta(s, dir))),
+    "mm_frame_sample"    -> ((s: SparkSession, dir: String) =>
+      Multimodal.frameSample(Multimodal.binaryMeta(s, dir))),
     // streaming-shape windowed aggregation (batch form; the streaming form
     // with watermark is graft.streaming.StreamingPipeline.eventWindowCounts)
     "stream_window_agg" -> ((s: SparkSession, dir: String) =>
@@ -525,6 +529,17 @@ object SparkEntry {
         |SELECT doc_id, CAST(octet_length(encode(head_hex)) AS INT) AS payload_len,
         |  CAST(ascii(substr(head_hex, 1, 1)) + ascii(substr(head_hex, 2, 1)) + ascii(substr(head_hex, 3, 1)) + ascii(substr(head_hex, 4, 1)) AS DOUBLE) / 1020.0 AS fake_feature
         |FROM m""".stripMargin,
+    "mm_resize_meta" ->
+      """WITH m AS (SELECT doc_id, CAST(1 + octet_length(encode(text)) % 640 AS INT) AS w,
+        |                  CAST(1 + (octet_length(encode(text)) * 7) % 480 AS INT) AS h FROM documents),
+        |s AS (SELECT doc_id, w, h, least(640000 // w, 640000 // h) AS scale_e4 FROM m)
+        |SELECT doc_id, w, h,
+        |  CAST(greatest(1, (w * scale_e4) // 10000) AS INT) AS out_w,
+        |  CAST(greatest(1, (h * scale_e4) // 10000) AS INT) AS out_h
+        |FROM s""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH m AS (SELECT doc_id, CAST(1 + octet_length(encode(text)) % 100 AS INT) AS n_frames FROM documents)
+        |SELECT doc_id, n_frames, CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_idx FROM m""".stripMargin,
     "stream_window_agg" ->
       """SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
         |       event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total_value

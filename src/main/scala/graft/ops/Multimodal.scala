@@ -32,6 +32,30 @@ object Multimodal {
       round((length(b) % 256).cast("double") / 255.0, 6).as("fake_mean_pixel"))
   }
 
+  /** Resize plumbing: target-box scaling arithmetic on the (stubbed) decoded
+    * dimensions — pure column expressions, so a real decoder swap keeps this
+    * untouched. Aspect-preserving fit into maxW×maxH using integer math
+    * (floor), like a thumbnailer. */
+  def resizeMeta(media: DataFrame, maxW: Int = 64, maxH: Int = 64): DataFrame =
+    media.select(col("doc_id"), col("fake_width").as("w"), col("fake_height").as("h"))
+      .select(col("doc_id"), col("w"), col("h"),
+        least(expr(s"(${maxW}0000 div w)"), expr(s"(${maxH}0000 div h)")).as("scale_e4"))
+      .select(col("doc_id"), col("w"), col("h"),
+        greatest(lit(1L), expr("(w * scale_e4) div 10000")).cast("int").as("out_w"),
+        greatest(lit(1L), expr("(h * scale_e4) div 10000")).cast("int").as("out_h"))
+
+  /** Frame-sampling plumbing for video-like payloads: derive a deterministic
+    * frame count from the byte length (STUB — a real demuxer reads the
+    * container), then emit every k-th frame offset as one row per sampled
+    * frame — the generator shape (1 media row → N frame rows) a real
+    * frame-sampler produces. */
+  def frameSample(media: DataFrame, everyK: Int = 10): DataFrame =
+    media.select(col("doc_id"),
+        // ---- STUB: fake frame count from byte length (no demuxer in container)
+        (lit(1) + col("byte_len") % 100).cast("int").as("n_frames"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))).as("frame_idx"))
+
   /** Batched decode shape (the mapInPandas equivalent): processes whole
     * partitions of binary payloads at once. The per-batch body is the stub;
     * the batching, schema and distribution are the real plumbing. */

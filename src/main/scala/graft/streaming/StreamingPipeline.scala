@@ -50,32 +50,41 @@ object StreamingPipeline {
     stream.writeStream
       .option("checkpointLocation", s"$checkpointDir/query")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val triplesTable = s"batch=$batchId"
-        // replayed batch whose output already committed → skip (idempotence)
-        if (!outIo.exists(spark, triplesTable)) {
-          val perLine = Extract.perLine(batch)
-          val contexts = Extract.contexts(perLine)
-          // 1. commit this batch's additive IDF contribution FIRST, so the
-          //    snapshot below always includes the current batch (overwrite is
-          //    deterministic, so a replay after a crash rewrites identical
-          //    stats rather than double-counting)
-          statsIo.write(Scoring.termDf(contexts), s"df/batch=$batchId")
-          statsIo.write(contexts.agg(count(lit(1)).as("n")), s"n/batch=$batchId")
-          // 2. global IDF snapshot over every batch seen so far
-          val idf = Scoring.idfFromStats(
-            statsIo.read(spark, "df").select(col("term"), col("df")),
-            statsIo.read(spark, "n").agg(sum(col("n")).as("n")))
-          val mentions = Extract.mentionsFromLines(perLine)
-          val cands = Candidates.candidates(mentions, dict, broadcastDict = true)
-          val top1 = Scoring.top1(Scoring.score(mentions, cands, kbCtx,
-            Some(contexts), idfOverride = Some(idf)))
-          outIo.write(top1, s"_scores/batch=$batchId")
-          // triples commit LAST: its existence marks the batch done
-          outIo.write(Canonicalize.triples(Canonicalize.canonicalMentions(mentions, top1)),
-                      triplesTable)
-        }
+        processBatch(spark, batch, batchId, dict, kbCtx, outIo, statsIo)
       }
       .start()
+  }
+
+  /** One micro-batch, replay-idempotent (public so the exactly-once contract
+    * is directly testable: calling it twice with the same batchId is a
+    * no-op the second time). */
+  def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                   dict: DataFrame, kbCtx: DataFrame,
+                   outIo: ParquetTableIO, statsIo: ParquetTableIO): Unit = {
+    val triplesTable = s"batch=$batchId"
+    // replayed batch whose output already committed → skip (idempotence)
+    if (!outIo.exists(spark, triplesTable)) {
+      val perLine = Extract.perLine(batch)
+      val contexts = Extract.contexts(perLine)
+      // 1. commit this batch's additive IDF contribution FIRST, so the
+      //    snapshot below always includes the current batch (overwrite is
+      //    deterministic, so a replay after a crash rewrites identical
+      //    stats rather than double-counting)
+      statsIo.write(Scoring.termDf(contexts), s"df/batch=$batchId")
+      statsIo.write(contexts.agg(count(lit(1)).as("n")), s"n/batch=$batchId")
+      // 2. global IDF snapshot over every batch seen so far
+      val idf = Scoring.idfFromStats(
+        statsIo.read(spark, "df").select(col("term"), col("df")),
+        statsIo.read(spark, "n").agg(sum(col("n")).as("n")))
+      val mentions = Extract.mentionsFromLines(perLine)
+      val cands = Candidates.candidates(mentions, dict, broadcastDict = true)
+      val top1 = Scoring.top1(Scoring.score(mentions, cands, kbCtx,
+        Some(contexts), idfOverride = Some(idf)))
+      outIo.write(top1, s"_scores/batch=$batchId")
+      // triples commit LAST: its existence marks the batch done
+      outIo.write(Canonicalize.triples(Canonicalize.canonicalMentions(mentions, top1)),
+                  triplesTable)
+    }
   }
 
   /** Natively streaming link stream (no aggregation): mention extraction +

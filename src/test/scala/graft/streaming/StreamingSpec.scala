@@ -68,6 +68,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("replayed micro-batch is a no-op: batchId-keyed commits are exactly-once") {
+    import graft.io.ParquetTableIO
+    val outDir = Files.createTempDirectory("replay_out").toString
+    val ckpt = Files.createTempDirectory("replay_ckpt").toString
+    val outIo = new ParquetTableIO(outDir)
+    val statsIo = new ParquetTableIO(s"$ckpt/idf_stats")
+    val kb = CorpusGen.kbEntries(spark).toDF()
+    val kbCtx = CorpusGen.kbContexts(spark).toDF()
+    val dict = graft.kg.Candidates.dictionary(kb)
+    val batch = spark.range(0, 30).map(id => CorpusGen.genFile(id)._1).toDF()
+
+    StreamingPipeline.processBatch(spark, batch, 0L, dict, kbCtx, outIo, statsIo)
+    val triples1 = spark.read.parquet(outDir).collect().toSeq
+    val df1 = statsIo.read(spark, "df").count()
+    // Structured Streaming replays the batch after a crash — must be a no-op
+    StreamingPipeline.processBatch(spark, batch, 0L, dict, kbCtx, outIo, statsIo)
+    assert(spark.read.parquet(outDir).collect().toSeq.sortBy(_.toString) ==
+           triples1.sortBy(_.toString), "replay duplicated triples")
+    assert(statsIo.read(spark, "df").count() == df1, "replay double-counted IDF stats")
+  }
+
   test("watermarked tumbling-window aggregation matches the batch aggregation") {
     val sf = "/root/testdata/sf0.001"
     val batchEvents = spark.read.parquet(s"$sf/events.parquet")
