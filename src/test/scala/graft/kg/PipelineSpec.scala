@@ -115,6 +115,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(collectTriples(triples) == collectTriples(runInMemory(spark)))
   }
 
+  test("forced large-KB paths (salted dict join + SHJ scoring) emit identical triples") {
+    def run(broadcastDictMaxRows: Long, broadcastKbCtxMaxRows: Long) = {
+      val io = new ParquetTableIO(Files.createTempDirectory("graft_cfg").toString)
+      collectTriples(new Pipeline(io, s"cfg-$broadcastDictMaxRows-$broadcastKbCtxMaxRows").run(
+        spark,
+        CorpusGen.srcFiles(spark, 80).toDF(),
+        CorpusGen.kbEntries(spark).toDF(),
+        CorpusGen.kbContexts(spark).toDF(),
+        hotThreshold = 3L, // make the hot set non-trivial at this corpus size
+        broadcastDictMaxRows = broadcastDictMaxRows,
+        broadcastKbCtxMaxRows = broadcastKbCtxMaxRows))
+    }
+    val reference = run(Long.MaxValue, Long.MaxValue) // both broadcast
+    assert(reference.nonEmpty)
+    assert(run(0L, 0L) == reference)                  // salted dict + SHJ kbCtx
+  }
+
   test("generator determinism: same ids → byte-identical corpus") {
     val a = CorpusGen.srcFiles(spark, 50).collect().sortBy(f => (f.repo, f.path))
     val b = CorpusGen.srcFiles(spark, 50).collect().sortBy(f => (f.repo, f.path))
