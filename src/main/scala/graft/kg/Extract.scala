@@ -100,26 +100,34 @@ object Extract {
     * the corpus). Stateless ⇒ also directly usable under Structured
     * Streaming (graft.streaming). */
   def perLine(src: DataFrame, k: Int = 2): DataFrame = {
+    // each line is tokenized exactly ONCE (native codegen'd scan); the ±k
+    // context is then the flatten of the sliced per-line token arrays — the
+    // old form joined the ±k lines into one string and re-tokenized it, so
+    // every line paid the tokenizer 2k+1 times. Tokens cannot span the line
+    // boundary (the separator is never a token char), so the two forms are
+    // identical — and this one matches the independent oracle's
+    // per-line-flatMap construction verbatim.
     val withLines = src.select(col("repo"), col("path"), col("commit"), col("lang"),
                                split(col("content"), "\n").as("lines"))
-    // (line_no, line, ctx_text) structs, built inside the row
+      .withColumn("line_toks",
+        transform(col("lines"), l => graft.functions.CodeTokenizer.codeTokens(l)))
+    // (line_no, line, ctx_terms) structs, built inside the row
     val perLineStructs = transform(col("lines"), (line, i) => struct(
       i.as("line_no"),
       line.as("line"),
-      array_join(slice(col("lines"),
-                       greatest(lit(1), i + 1 - k),
-                       least(size(col("lines")), i + 1 + k) - greatest(lit(1), i + 1 - k) + 1),
-                 " ").as("ctx_text")))
+      flatten(slice(col("line_toks"),
+                    greatest(lit(1), i + 1 - k),
+                    least(size(col("lines")), i + 1 + k) - greatest(lit(1), i + 1 - k) + 1))
+        .as("ctx_terms")))
     withLines
       .select(col("repo"), col("path"), col("commit"), col("lang"),
               explode(perLineStructs).as("pl"))
       .select(col("repo"), col("path"), col("commit"), col("lang"),
               col("pl.line_no").as("line_no"), col("pl.line").as("line"),
-              col("pl.ctx_text").as("ctx_text"))
+              col("pl.ctx_terms").as("ctx_terms"))
       .select(col("repo"), col("path"), col("commit"), col("line_no"),
               array_distinct(mentionArray).as("ms"),  // in-row dedup: ids are unique by construction
-              // native codegen'd tokenizer — ≡ regexp_extract_all(lower(_), IdentRe)
-              graft.functions.CodeTokenizer.codeTokens(col("ctx_text")).as("ctx_terms"))
+              col("ctx_terms"))
       .filter(size(col("ms")) > 0)
       .withColumn("ctx_id", xxhash64(col("repo"), col("path"), col("commit"), col("line_no")))
   }
