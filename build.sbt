@@ -30,3 +30,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // pipeline run 4.7x SLOWER (GC behavior at large heaps + 32 threads).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+scalacOptions += "-Wunused:imports"

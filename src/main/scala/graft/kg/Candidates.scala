@@ -1,6 +1,6 @@
 package graft.kg
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Candidate generation (SURVEY.md §2.4 J1–J4, A6): mention.norm ⋈ KB key.

@@ -2,7 +2,6 @@ package graft.kg
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Mention extraction (SURVEY.md §2.3, E1–E8): src_files → Mention rows.
   *

@@ -24,7 +24,6 @@ final class Pipeline(io: TableIO, runId: String, resume: Boolean = false) {
     * corpus size) must never be silently reused for this one. */
   private def committed(spark: SparkSession, stage: String): Boolean =
     resume && io.exists(spark, LineageTable) && io.exists(spark, stage) && {
-      import spark.implicits._
       io.read(spark, LineageTable)
         .filter(col("stage") === stage && col("status") === "committed" &&
                 col("run_id") === runId)

@@ -9,7 +9,6 @@ import graft.SparkTestSession
   */
 class CandidatesSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
-  import spark.implicits._
 
   private lazy val src = CorpusGen.srcFiles(spark, 60).toDF().cache()
   private lazy val mentions = Extract.mentions(src).cache()

@@ -15,7 +15,6 @@ import java.nio.file.Files
   */
 class PipelineSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
-  import spark.implicits._
 
   private val N = 150
 

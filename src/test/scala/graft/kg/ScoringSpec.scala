@@ -1,7 +1,6 @@
 package graft.kg
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.functions._
 import graft.SparkTestSession
 
 /** Hand-computed cosine + deterministic top-1 (A1–A4, W1, W3). */

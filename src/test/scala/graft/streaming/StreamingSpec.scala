@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.SparkTestSession
 import graft.kg.{Candidates, CorpusGen, Eval, Extract, Scoring}
