@@ -127,6 +127,16 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
   }
 
+  test("partition pruning reaches the lang-partitioned checkpoint scan") {
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    CorpusGen.srcFiles(spark, 40).toDF()
+      .write.partitionBy("lang").mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("lang") === "scala").select("repo", "path")
+    val scan = df.queryExecution.sparkPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("isnotnull(lang"),
+      s"no partition filter in:\n$scan")
+  }
+
   test("E5 normalize is idempotent over camel/snake/dot surfaces") {
     import spark.implicits._
     val surfaces = Seq("AlphaBeta", "alpha_beta", "a.b.C", "getX_id", "ABC", "x__y",

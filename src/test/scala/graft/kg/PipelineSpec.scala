@@ -70,10 +70,16 @@ class PipelineSpec extends AnyFunSuite {
       CorpusGen.kbContexts(spark).toDF(),
       snapshot = Some(CorpusGen.fileShas(spark, N).toDF()))
     val first = collectTriples(full(resume = false))
-    // simulate a crash after stage2: drop later stages, resume
+    // simulate a crash after stage2: drop later stages AND leave a torn
+    // in-flight temp dir behind (a writer killed mid-write) — resume must
+    // overwrite it, not trip on it
     io.drop(spark, "stage3_top1"); io.drop(spark, "stage4_triples")
+    val torn = new java.io.File(s"$dir/stage3_top1._tmp/garbage")
+    torn.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(torn.toPath, "torn write")
     val resumed = collectTriples(full(resume = true))
     assert(first == resumed && first.nonEmpty)
+    assert(!new java.io.File(s"$dir/stage3_top1._tmp").exists(), "torn tmp not cleaned")
   }
 
   test("sha256 invariant violation is detected") {
