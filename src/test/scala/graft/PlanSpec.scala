@@ -137,6 +137,19 @@ class PlanSpec extends AnyFunSuite {
       s"no partition filter in:\n$scan")
   }
 
+  test("global plan lint: no query plans a no-partition Window or a cartesian product") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.sparkPlan
+      val badWindows = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      val cartesians = plan.collect { case c: CartesianProductExec => c }
+      (if (badWindows.nonEmpty) Seq(s"$name: no-partition Window") else Nil) ++
+        (if (cartesians.nonEmpty) Seq(s"$name: CartesianProduct") else Nil)
+    }
+    assert(offenders.isEmpty, s"scale-killer plan shapes:\n${offenders.mkString("\n")}")
+  }
+
   test("E5 normalize is idempotent over camel/snake/dot surfaces") {
     import spark.implicits._
     val surfaces = Seq("AlphaBeta", "alpha_beta", "a.b.C", "getX_id", "ABC", "x__y",
