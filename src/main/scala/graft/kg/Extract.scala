@@ -83,12 +83,10 @@ object Extract {
       transform(docCommentSurfaces, s => mentionStruct("doccomment", s)),
       filter(array(mentionStruct("import", importSurface)), m => length(m("surface")) > 0))
 
-  /** E5: normalization — camel split, lower, snake/dot fold, space collapse. */
-  def normalize(c: Column): Column =
-    trim(regexp_replace(
-      regexp_replace(lower(regexp_replace(c, "([a-z0-9])([A-Z])", "$1 $2")),
-                     "[_.]", " "),
-      " +", " "))
+  /** E5: normalization — camel split, lower, snake/dot fold, space collapse.
+    * Runs as the native one-pass scan [[graft.functions.CodeNormalize]]
+    * (≡ the regexp chain on ASCII input — property-tested). */
+  def normalize(c: Column): Column = graft.functions.CodeNormalizer.codeNormalize(c)
 
   /** The one-pass per-line stage: mention array + ±k context + ctx_id.
     * Only lines carrying at least one mention survive.

@@ -114,12 +114,9 @@ object DocOps {
       .filter(length(col("target")) > 0)
 
   /** E5: mention normalizer — camelCase/snake_case/dot fold to space-separated
-    * lowercase. Pure expressions; identical chain mirrored in the oracle SQL. */
-  def normalize(c: Column): Column =
-    trim(regexp_replace(
-      regexp_replace(lower(regexp_replace(c, "([a-z0-9])([A-Z])", "$1 $2")),
-                     "[_.]", " "),
-      " +", " "))
+    * lowercase. Runs as the native one-pass scan (the oracle SQL keeps the
+    * equivalent regexp chain; parity property-tested in CodeTokensSpec). */
+  def normalize(c: Column): Column = graft.functions.CodeNormalizer.codeNormalize(c)
 
   def e5Normalize(spark: SparkSession, dir: String): DataFrame = {
     val terms = e2Identifiers(spark, dir).select(col("surface").as("term")).distinct()

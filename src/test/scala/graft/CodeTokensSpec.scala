@@ -75,6 +75,35 @@ class CodeTokensSpec extends AnyFunSuite {
     assert(r == Seq("val", "alpha_beta"), s"got $r")
   }
 
+  test("code_normalize ≡ the regexp normalization chain (fixtures + corpus + random)") {
+    import graft.functions.CodeNormalizer.codeNormalize
+    def regexChain(c: org.apache.spark.sql.Column) =
+      trim(regexp_replace(
+        regexp_replace(lower(regexp_replace(c, "([a-z0-9])([A-Z])", "$1 $2")), "[_.]", " "),
+        " +", " "))
+    val fixtures = Seq(
+      "", " ", "_", "___", "AlphaBeta", "alpha_beta", "a.b.C", "getX_id", "ABC",
+      "x__y", "Alpha_Beta.GammaDelta", "a", "A1b2C3", "aB", "a_B", "aBC", "A1B",
+      "a - b", "  padded  ", "_lead", "trail_", "a..b", "x_.y", "mIxEd_CaSe9",
+      "tab\there", "1Abc", "get0")
+    val r = new scala.util.Random(777L)
+    val alphabet = "abcXYZ019__  ..-".toCharArray
+    val random = (0 until 300).map(_ =>
+      Array.fill(r.nextInt(30))(alphabet(r.nextInt(alphabet.length))).mkString)
+    val corpus = CorpusGen.srcFiles(spark, 40).collect()
+      .flatMap(_.content.split("[ \n]")).filter(_.nonEmpty).take(2000).toSeq
+    val df = (fixtures ++ random ++ corpus).toDF("s")
+      .select(codeNormalize(col("s")).as("fast"), regexChain(col("s")).as("slow"))
+    val bad = df.filter(col("fast") =!= col("slow"))
+      .select("fast", "slow").collect()
+    assert(bad.isEmpty, s"normalize divergence: ${bad.take(5).mkString(" | ")}")
+    // idempotence of the native form
+    val idem = (fixtures ++ random).toDF("s")
+      .select(codeNormalize(col("s")).as("n1"))
+      .select(col("n1"), codeNormalize(col("n1")).as("n2"))
+    assert(idem.filter(col("n1") =!= col("n2")).count() == 0)
+  }
+
   test("code_tokens stays inside whole-stage codegen") {
     val df = spark.range(100)
       .select(concat(lit("val x_"), col("id").cast("string"), lit(" = alpha beta_gamma")).as("s"))
