@@ -170,6 +170,21 @@ object Pipeline {
       val pr = Eval.precisionRecallFromPath(spark, triples, goldPath).collect()(0)
       println(f"triples=$n wall=$sec%.2fs thr=${n / sec}%.0f triples/sec " +
               f"precision=${pr.getAs[Double]("precision")}%.4f recall=${pr.getAs[Double]("recall")}%.4f")
+      // machine-readable run metrics, rolled up from the lineage table
+      // (north_rule: per-partition lineage + metrics)
+      val stages = spark.read.parquet(s"$ckpt/_lineage")
+        .filter(col("run_id") === runId)
+        .groupBy(col("stage"))
+        .agg(sum(col("rows_out")).as("rows_out"), max(col("wall_ms")).as("wall_ms"),
+             countDistinct(col("partition_id")).as("partitions"))
+        .orderBy(col("stage"))
+        .collect()
+        .map(r => f""""${r.getAs[String]("stage")}":{"rows_out":${r.getAs[Long]("rows_out")},"wall_ms":${r.getAs[Long]("wall_ms")},"partitions":${r.getAs[Long]("partitions")}}""")
+        .mkString("{", ",", "}")
+      val metrics =
+        f"""{"run_id":"$runId","triples":$n,"wall_sec":$sec%.2f,"triples_per_sec":${n / sec}%.1f,""" +
+        f""""precision":${pr.getAs[Double]("precision")},"recall":${pr.getAs[Double]("recall")},"stages":$stages}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$ckpt/metrics.json"), metrics)
     } finally spark.stop()
   }
 }
