@@ -40,6 +40,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // shuffle width follows the pipeline corpus size (see Pipeline.main):
+    // wide-key aggregations spill at 32 static partitions for 10^6-file runs,
+    // while a statically wide setting doubles the 5·10^4-file default
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                   math.max(cpus.toInt, math.min(2048, nFiles / 4000)).toString)
 
     // JVM/codegen warmup so the first measured query isn't charged for it
     spark.range(1000000).selectExpr("sum(id)").collect()

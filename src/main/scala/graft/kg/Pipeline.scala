@@ -145,6 +145,15 @@ object Pipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // scale the shuffle width with the corpus and let AQE coalesce back down:
+    // at 32 static partitions the 1M-file run's wide-key aggregations (triple
+    // dedup) spill (stage4 106 s → 54 s with 512); a static wide setting
+    // conversely doubles small runs (measured 48 s → 98 s at 50k with 256),
+    // so the width follows the input size. On a real cluster this is the
+    // shuffle-partition sizing the north rule expects per deployment.
+    val initialParts = math.max(cpus.toInt, math.min(2048, nFiles / 4000))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                   initialParts.toString)
     try {
       val src   = flag("--input").map(spark.read.parquet(_))
         .getOrElse(CorpusGen.srcFiles(spark, nFiles).toDF())
