@@ -34,15 +34,16 @@ import org.apache.spark.sql.functions._
   */
 object Scoring {
 
-  /** A1 as in-row term frequency per distinct context — no shuffle (array
-    * higher-order functions); one row per (ctx_id, term). */
-  private def ctxTf(ctxs: DataFrame): DataFrame = {
-    val tfEntries = transform(array_distinct(col("ctx_terms")), t =>
-      struct(t.as("term"),
-             size(filter(col("ctx_terms"), x => x === t)).cast("long").as("tf")))
-    ctxs.select(col("ctx_id"), explode(tfEntries).as("e"))
+  /** A1 as in-row term frequency per distinct context — no shuffle; one row
+    * per (ctx_id, term). Runs as the native one-pass
+    * [[graft.functions.TermCounts]] expression (the HOF
+    * `transform(array_distinct(...), t → size(filter(...)))` form it
+    * replaces is O(distinct × length) per context — property-tested equal
+    * including entry order). */
+  private def ctxTf(ctxs: DataFrame): DataFrame =
+    ctxs.select(col("ctx_id"),
+                explode(graft.functions.TermCounter.termCounts(col("ctx_terms"))).as("e"))
       .select(col("ctx_id"), col("e.term").as("term"), col("e.tf").as("tf"))
-  }
 
   /** Per-term document frequency of a context set — the additive IDF
     * contribution unit (streaming accumulates these per micro-batch). */

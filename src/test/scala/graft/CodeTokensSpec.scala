@@ -104,6 +104,21 @@ class CodeTokensSpec extends AnyFunSuite {
     assert(idem.filter(col("n1") =!= col("n2")).count() == 0)
   }
 
+  test("term_counts ≡ the HOF transform/array_distinct/filter form, order included") {
+    import graft.functions.TermCounter.termCounts
+    def hof(c: org.apache.spark.sql.Column) =
+      transform(array_distinct(c), t =>
+        struct(t.as("term"), size(filter(c, x => x === t)).cast("long").as("tf")))
+    val r = new scala.util.Random(99L)
+    val pool = Array("alpha", "beta", "gamma", "kernel", "socket", "x", "yy")
+    val arrays: Seq[Seq[String]] = Seq(Seq.empty[String], Seq("solo"), Seq("a", "a", "a")) ++
+      (0 until 200).map(_ => Seq.fill(r.nextInt(30))(pool(r.nextInt(pool.length))))
+    val df = arrays.toDF("xs")
+      .select(termCounts(col("xs")).as("fast"), hof(col("xs")).as("slow"))
+    assert(df.filter(col("fast") =!= col("slow")).count() == 0,
+      df.filter(col("fast") =!= col("slow")).take(2).mkString(" | "))
+  }
+
   test("code_tokens stays inside whole-stage codegen") {
     val df = spark.range(100)
       .select(concat(lit("val x_"), col("id").cast("string"), lit(" = alpha beta_gamma")).as("s"))
