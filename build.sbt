@@ -31,3 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 scalacOptions += "-Wunused:imports"
+// experiment passthrough: SPARK_GRAFT_GC=UseParallelGC etc.
+javaOptions ++= sys.env.get("SPARK_GRAFT_GC").map(g => s"-XX:+$g").toSeq
+// scaling-protocol fairness: confine GC to the measured core count
+// (an unpinned GC borrows the box's idle cores at low N, inflating the
+// baseline — cluster executors' GC scales with their own cores instead)
+javaOptions ++= sys.env.get("SPARK_GRAFT_GC_THREADS").toSeq.flatMap(n =>
+  Seq(s"-XX:ParallelGCThreads=$n", s"-XX:ConcGCThreads=${math.max(1, n.toInt / 4)}"))

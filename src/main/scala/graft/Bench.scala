@@ -38,6 +38,10 @@ object Bench {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle/scratch location override (e.g. /dev/shm for the scaling
+      // protocol: one box's disk does not scale with thread count, cluster
+      // storage does scale with executors)
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", System.getProperty("java.io.tmpdir")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // shuffle width follows the pipeline corpus size (see Pipeline.main):
@@ -69,8 +73,15 @@ object Bench {
     }
 
     // Flagship: the real checkpointed pipeline (extract → link → materialize,
-    // every stage written through the TableIO seam — the production shape)
-    val out = Files.createTempDirectory("graft_bench_ckpt").toString
+    // every stage written through the TableIO seam — the production shape).
+    // SPARK_GRAFT_BENCH_DIR relocates the checkpoint root (e.g. /dev/shm to
+    // take the local disk out of a scaling measurement — cluster storage
+    // scales with executors, one box's disk does not).
+    val out = sys.env.get("SPARK_GRAFT_BENCH_DIR").map { d =>
+      val p = java.nio.file.Paths.get(d)
+      java.nio.file.Files.createDirectories(p)
+      Files.createTempDirectory(p, "ckpt").toString
+    }.getOrElse(Files.createTempDirectory("graft_bench_ckpt").toString)
     var triples = 0L
     val pipeSec = time {
       val pipe = new kg.Pipeline(new ParquetTableIO(out), runId = "bench")

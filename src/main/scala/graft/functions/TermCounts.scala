@@ -44,10 +44,18 @@ case class TermCounts(child: Expression) extends UnaryExpression {
 
 object TermCounter {
 
+  // per-thread scratch map, cleared per call — executor threads each reuse
+  // one map instead of allocating map+entries per row (rows are processed
+  // one at a time per thread, and all UTF8String keys are consumed before
+  // the call returns, so reuse is safe)
+  private val scratch: ThreadLocal[java.util.LinkedHashMap[UTF8String, Array[Long]]] =
+    ThreadLocal.withInitial(() => new java.util.LinkedHashMap[UTF8String, Array[Long]](64))
+
   def count(terms: ArrayData): ArrayData = {
     val n = terms.numElements()
     // first-occurrence order, one pass
-    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]](Math.max(8, n))
+    val counts = scratch.get()
+    counts.clear()
     var i = 0
     while (i < n) {
       val t = terms.getUTF8String(i)
