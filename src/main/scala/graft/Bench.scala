@@ -52,6 +52,8 @@ object Bench {
 
     // JVM/codegen warmup so the first measured query isn't charged for it
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // scan fixtures (S3/S4) materialized in setup — the timed queries only scan
+    Fixtures.ensure(spark)
 
     def time[A](f: => A): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

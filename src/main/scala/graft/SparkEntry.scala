@@ -15,9 +15,9 @@ import graft.ops.{Dedup, DocOps, Multimodal, RelOps, Similarity, TextAnalysis}
   */
 object SparkEntry {
 
-  /** Where the S4 gold fixture is materialized (written by `s4_gold_scan`,
-    * read back by both the Spark query and the DuckDB oracle). */
-  val GoldFixturePath = "/root/repo/target/gold_fixture"
+  // S3/S4 scan fixtures (gold parquet + csv, kb-context parquet) are
+  // materialized once per JVM by graft.Fixtures — outside any timed query —
+  // then READ FROM STORAGE by both engines.
 
   /** Flagship: the KG pipeline end-to-end on a small synthetic corpus
     * (extract → link → score → vote → triples); driver smoke-checks rows>0. */
@@ -39,14 +39,21 @@ object SparkEntry {
     "e6_context_window" -> DocOps.e6ContextWindow _,
     "e7_union_extractors" -> DocOps.e7Union _,
     "e8_mention_id"     -> DocOps.e8MentionId _,
-    // S4: gold/reference-annotation scan — the gold fixture is materialized
-    // to parquet once (deterministic generator output) and then READ FROM
-    // STORAGE, exactly as a user-supplied T2D/Limaye-style gold file would
-    // be; the oracle reads the very same files.
+    // S3/S4: KB-context + gold/reference-annotation scans — deterministic
+    // fixtures materialized once (setup, not timed) then READ FROM STORAGE,
+    // exactly as user-supplied tables would be; the oracle reads the very
+    // same files. The CSV variant exercises the T2D/Limaye-in-the-wild path.
+    "s3_kb_context_scan" -> ((s: SparkSession, dir: String) => {
+      Fixtures.ensure(s)
+      s.read.parquet(Fixtures.KbCtxParquet)
+    }),
     "s4_gold_scan" -> ((s: SparkSession, dir: String) => {
-      graft.kg.CorpusGen.gold(s, 500).toDF()
-        .coalesce(2).write.mode("overwrite").parquet(GoldFixturePath)
-      graft.kg.Eval.goldFromParquet(s, GoldFixturePath)
+      Fixtures.ensure(s)
+      graft.kg.Eval.goldFromParquet(s, Fixtures.GoldParquet)
+    }),
+    "s4_gold_scan_csv" -> ((s: SparkSession, dir: String) => {
+      Fixtures.ensure(s)
+      graft.kg.Eval.goldFromPath(s, Fixtures.GoldCsv)
     }),
     // §2.1 KB scan / §2.4 joins
     "s2_kb_dictionary"   -> RelOps.s2Kb _,
@@ -82,6 +89,7 @@ object SparkEntry {
     "dedup_minhash_pairs" -> Dedup.minhashPairs _,
     "dedup_simhash"      -> Dedup.simhash _,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
+    "dedup_clusters"     -> Dedup.clusters _,
     "dedup_embcos_pairs" -> Similarity.embeddingCosinePairs _,
     // similarity search
     "sim_brute_topk"     -> ((s: SparkSession, dir: String) => Similarity.bruteForceTopK(s, dir)),
@@ -215,9 +223,17 @@ object SparkEntry {
          |ex AS (SELECT doc_id, repo, path, "commit", CAST(unnest(range(len(p))) AS INT) AS pos, unnest(p) AS word FROM parts),
          |f AS (SELECT * FROM ex WHERE length(word) > 0)
          |SELECT doc_id, pos, md5(repo || '|' || path || '|' || "commit" || '|' || CAST(pos AS VARCHAR) || '|' || word) AS mention_id FROM f""".stripMargin,
+    "s3_kb_context_scan" ->
+      s"""SELECT entity_id, term, weight
+         |FROM read_parquet('${Fixtures.KbCtxParquet}/*.parquet')""".stripMargin,
     "s4_gold_scan" ->
       s"""SELECT repo, path, "commit", line, kind, surface, entity_id
-         |FROM read_parquet('$GoldFixturePath/*.parquet')""".stripMargin,
+         |FROM read_parquet('${Fixtures.GoldParquet}/*.parquet')""".stripMargin,
+    "s4_gold_scan_csv" ->
+      s"""SELECT repo, path, "commit", line, kind, surface, entity_id
+         |FROM read_csv('${Fixtures.GoldCsv}/*.csv', header=true,
+         |  columns={'repo':'VARCHAR','path':'VARCHAR','commit':'VARCHAR','line':'INTEGER',
+         |           'kind':'VARCHAR','surface':'VARCHAR','entity_id':'BIGINT'})""".stripMargin,
     "s2_kb_dictionary" ->
       s"""WITH $T, $K
          |SELECT entity_id, label, prior FROM kb""".stripMargin,
@@ -393,6 +409,29 @@ object SparkEntry {
          |SELECT p.d1, p.d2, round(CAST(coalesce(i, 0) AS DOUBLE) / (a.n + b.n - coalesce(i, 0)), 6) AS jaccard
          |FROM pairs p JOIN cnts a ON a.doc_id = p.d1 JOIN cnts b ON b.doc_id = p.d2
          |LEFT JOIN inter ON inter.d1 = p.d1 AND inter.d2 = p.d2""".stripMargin,
+    // near-dup cluster collapse: the Spark side is iterative min-label
+    // propagation + pointer jumping; the oracle computes the same fixpoint
+    // (min reachable doc_id per node) with a recursive CTE over the
+    // symmetric pair graph.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $Shingles,
+         |seeds AS (SELECT CAST(unnest(range(8)) AS INT) AS seed),
+         |mh AS (SELECT doc_id, seed, min(md5(shingle || '#' || CAST(seed AS VARCHAR))) AS minhash
+         |       FROM shv CROSS JOIN seeds GROUP BY doc_id, seed),
+         |sigs AS (SELECT doc_id, (seed >> 1) AS band,
+         |           min(CASE WHEN seed % 2 = 0 THEN minhash END) || '|' || min(CASE WHEN seed % 2 = 1 THEN minhash END) AS sig
+         |         FROM mh GROUP BY doc_id, (seed >> 1)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |          FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(v, l) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v),
+         |comp AS (SELECT v AS doc_id, min(l) AS cluster FROM reach GROUP BY v)
+         |SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
+         |       CASE WHEN coalesce(c.cluster, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS keep
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin,
     "dedup_embcos_pairs" ->
       s"""WITH $EmbEx,
          |coef AS (SELECT p.plane, d.dim, CASE WHEN substr(md5(CAST(p.plane AS VARCHAR) || '_' || CAST(d.dim AS VARCHAR)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END AS coef

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.BooleanType
 
 /** SparkSessionExtensions entry point: makes the native expressions usable
   * from SQL. Activate with
@@ -18,8 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("code_tokens"),
       new ExpressionInfo(classOf[CodeTokens].getName, "code_tokens"),
       (children: Seq[Expression]) => children match {
-        case Seq(c)                          => CodeTokens(c)
-        case Seq(c, Literal(lower, _))       => CodeTokens(c, lower == true)
+        case Seq(c)                                      => CodeTokens(c)
+        // only a non-null boolean literal selects the flag — anything else
+        // (code_tokens(s, 1), a NULL literal, a non-literal) is the
+        // documented usage error, not a silent lowerOutput=false
+        case Seq(c, Literal(b: Boolean, BooleanType))    => CodeTokens(c, b)
         case _ => throw new IllegalArgumentException(
           "code_tokens(str[, lowerOutput: boolean literal])")
       }))

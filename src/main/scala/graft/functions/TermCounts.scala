@@ -23,7 +23,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class TermCounts(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
+    // a null element has no defined term frequency (the HOF form this
+    // replaces emits (null, 0) because `x === null` filters to nothing,
+    // while a naive map count would say (null, n)) — reject at analysis
+    // time rather than silently diverge
+    case ArrayType(StringType, true) => TypeCheckResult.TypeCheckFailure(
+      "term_counts needs array<string> with containsNull=false")
     case t => TypeCheckResult.TypeCheckFailure(s"term_counts needs array<string>, got $t")
   }
   override def dataType: DataType = ArrayType(

@@ -1,12 +1,23 @@
 package graft.kg
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Evaluation harness (SURVEY.md J6/A9): precision/recall of emitted triples
   * vs the gold annotations, via one full-outer join + conditional aggregation.
   */
 object Eval {
+
+  /** The gold-annotation schema (T2D/Limaye-style): never inferred — CSV gold
+    * files carry no types, and a schema-inference pass would double-read the
+    * input. */
+  val GoldSchema: StructType = StructType(Seq(
+    StructField("repo", StringType), StructField("path", StringType),
+    StructField("commit", StringType), StructField("line", IntegerType),
+    StructField("kind", StringType), StructField("surface", StringType),
+    StructField("entity_id", LongType)))
 
   /** S4: gold/reference-annotation scan — T2D/Limaye-style gold read from
     * storage, the entry point for user-supplied gold annotation files
@@ -14,9 +25,26 @@ object Eval {
   def goldFromParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Precision/recall against a gold parquet path (S4 → J6 in one call). */
+  /** CSV form (T2D/Limaye gold in the wild is CSV), explicit schema. */
+  def goldFromCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").schema(GoldSchema).csv(path)
+
+  /** Format-sniffing entry point: a `.csv` file, or a directory containing
+    * any `.csv` part, reads as CSV; everything else as parquet. */
+  def goldFromPath(spark: SparkSession, path: String): DataFrame =
+    if (isCsv(spark, path)) goldFromCsv(spark, path) else goldFromParquet(spark, path)
+
+  private def isCsv(spark: SparkSession, path: String): Boolean = {
+    if (path.endsWith(".csv")) return true
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+      fs.listStatus(p).exists(_.getPath.getName.endsWith(".csv"))
+  }
+
+  /** Precision/recall against a gold path, parquet or CSV (S4 → J6 in one call). */
   def precisionRecallFromPath(spark: SparkSession, emitted: DataFrame, goldPath: String): DataFrame =
-    precisionRecall(emitted, goldFromParquet(spark, goldPath))
+    precisionRecall(emitted, goldFromPath(spark, goldPath))
 
   /** Gold rows → the triple key space (same construction as Canonicalize.triples). */
   def goldTriples(gold: DataFrame): DataFrame =

@@ -58,7 +58,8 @@ final class Pipeline(io: TableIO, runId: String, resume: Boolean = false) {
           snapshot: Option[DataFrame] = None,
           k: Int = 2, saltR: Int = 8, hotThreshold: Long = 10000L,
           broadcastDictMaxRows: Long = 1000000L,
-          broadcastKbCtxMaxRows: Long = 10000000L): DataFrame = {
+          broadcastKbCtxMaxRows: Long = 10000000L,
+          broadcastKbTermsMaxRows: Long = 5000000L): DataFrame = {
 
     // Stage 0: ingest + per-row sha256 invariant vs the source snapshot (F3/J7)
     val files = stage(spark, "stage0_files",
@@ -93,9 +94,14 @@ final class Pipeline(io: TableIO, runId: String, resume: Boolean = false) {
     // document-frequency aggregation to HLL for 10^12-row corpora.
     val approxIdf = spark.conf.getOption("spark.graft.idf.approx").exists(_.toBoolean)
     val kbCtxRows = kbCtx.count()
+    // the vocabulary prune's broadcast is measured separately: the distinct
+    // term set is far smaller than the exploded context table, so it often
+    // still broadcasts when kbCtx itself cannot
+    val kbTermRows = kbCtx.select(col("term")).distinct().count()
     val top1 = stage(spark, "stage3_top1",
       Scoring.top1(Scoring.score(mentions, cands, kbCtx, Some(contexts),
-        broadcastKbCtx = kbCtxRows <= broadcastKbCtxMaxRows, approxIdf = approxIdf)))
+        broadcastKbCtx = kbCtxRows <= broadcastKbCtxMaxRows, approxIdf = approxIdf,
+        broadcastKbTerms = kbTermRows <= broadcastKbTermsMaxRows)))
 
     // Stage 4: canonicalize + materialize triples, partitioned by predicate
     stage(spark, "stage4_triples",
@@ -193,7 +199,13 @@ object Pipeline {
       val metrics =
         f"""{"run_id":"$runId","triples":$n,"wall_sec":$sec%.2f,"triples_per_sec":${n / sec}%.1f,""" +
         f""""precision":${pr.getAs[Double]("precision")},"recall":${pr.getAs[Double]("recall")},"stages":$stages}"""
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$ckpt/metrics.json"), metrics)
+      // written through the Hadoop FS of the checkpoint root (not java.nio) so
+      // an HDFS/S3/other non-local ckpt URI works exactly like ParquetTableIO
+      val mPath = new org.apache.hadoop.fs.Path(s"$ckpt/metrics.json")
+      val mFs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val os = mFs.create(mPath, true)
+      try os.write(metrics.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
     } finally spark.stop()
   }
 }

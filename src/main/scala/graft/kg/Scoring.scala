@@ -69,12 +69,18 @@ object Scoring {
     * corpora where even the vocabulary-bounded exact pre-aggregation is too
     * wide (10^12-row scale); exact at test scale.
     * `idfOverride`: a precomputed (term, idf) snapshot (streaming's global
-    * IDF) replacing the corpus-local computation. */
+    * IDF) replacing the corpus-local computation.
+    * `broadcastKbTerms`: whether the KB-vocabulary prune's distinct-term set
+    * is broadcast — decided by the caller on MEASURED size like the kbCtx
+    * join above it (at DBpedia scale the distinct KB vocabulary alone is
+    * 10^6–10^7 strings — a multi-hundred-MB broadcast); when false the prune
+    * runs as a shuffled-hash semi-join instead. */
   def score(mentions: DataFrame, candidates: DataFrame, kbCtx: DataFrame,
             contexts: Option[DataFrame] = None,
             broadcastKbCtx: Boolean = true,
             approxIdf: Boolean = false,
-            idfOverride: Option[DataFrame] = None): DataFrame = {
+            idfOverride: Option[DataFrame] = None,
+            broadcastKbTerms: Boolean = true): DataFrame = {
 
     // distinct line contexts, hash-partitioned by ctx_id up front — the one
     // explicit exchange of the COMPACT rows (terms still in arrays); the tf
@@ -140,8 +146,15 @@ object Scoring {
     // fan-out. The context L2 norm still needs ALL terms — computed in a
     // separate exchange-free aggregation over the already-ctx_id-partitioned
     // wM stream (tiny output, map-side combined).
+    // the prune's build side follows the same measured-size policy as the
+    // kbCtx join: broadcast when small, else a shuffled-hash semi-join (the
+    // pruned stream re-exchanges to ctx_id below either way, so the extra
+    // term-hash exchange only exists in the huge-KB mode where it is far
+    // cheaper than the unpruned per-candidate fan-out it prevents)
     val kbTerms = kbCtx.select(col("term")).distinct()
-    val wMKb = wM.join(broadcast(kbTerms), Seq("term"), "left_semi")
+    val wMKb =
+      if (broadcastKbTerms) wM.join(broadcast(kbTerms), Seq("term"), "left_semi")
+      else wM.join(kbTerms.hint("shuffle_hash"), Seq("term"), "left_semi")
     val mNorm = wM.groupBy(col("ctx_id")).agg(sqrt(sum(col("wm") * col("wm"))).as("m_norm"))
     // inner join now: a (ctx, entity) pair with no shared term simply gets no
     // row, exactly like the old left-outer + filter(dot > 0) (all weights > 0)

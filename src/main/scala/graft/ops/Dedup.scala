@@ -61,24 +61,38 @@ object Dedup {
 
   /** LSH banding: 4 bands × 2 rows; near-dup candidate pairs share a band
     * signature. The pair join is on (band, signature) — high-cardinality keys,
-    * so the self-join cannot hot-spot. */
+    * so the self-join cannot hot-spot. The operator entry runs the GUARDED
+    * path: hot buckets above [[DefaultMaxBucket]] are excluded, measured and
+    * logged (none exist in the test corpora, so the oracle semantics are
+    * unchanged there). */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
-    minhashPairsFor(Tables.documents(spark, dir))
+    minhashPairsGuarded(Tables.documents(spark, dir))
 
-  /** `maxBucket` is the hot-bucket guard for the band self-join: a (band,
-    * sig) bucket of m docs emits m(m-1)/2 pairs, so one mega-bucket (usually
-    * an exact-duplicate cluster that should have been collapsed by [[exact]]
-    * FIRST — the pipeline order is exact-dedup → near-dedup) can dominate a
-    * whole run quadratically. Buckets above the cap are excluded from
-    * pairing (measured per run, like the candidate join's hot-key set); the
-    * default keeps the oracled semantics exact at test scale. */
-  def minhashPairsFor(docs: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame = {
-    val sigs0 = minhashSignaturesFor(docs)
+  /** Production default for the hot-bucket cap: a 1000-doc bucket still emits
+    * ~5·10^5 pairs — tolerable once; anything larger is an exact-duplicate
+    * cluster that belongs to [[exact]] (the pipeline order is exact-dedup →
+    * near-dedup), not to quadratic band pairing. */
+  val DefaultMaxBucket = 1000
+
+  /** Per-doc LSH band signatures (4 bands × 2 minhash rows). */
+  private def bandSignaturesFor(docs: DataFrame): DataFrame =
+    minhashSignaturesFor(docs)
       .withColumn("band", shiftright(col("seed"), 1))
       .groupBy(col("doc_id"), col("band"))
       .agg(concat_ws("|",
         min(when(col("seed") % 2 === 0, col("minhash"))),
         min(when(col("seed") % 2 === 1, col("minhash")))).as("sig"))
+
+  /** `maxBucket` is the hot-bucket guard for the band self-join: a (band,
+    * sig) bucket of m docs emits m(m-1)/2 pairs, so one mega-bucket (usually
+    * an exact-duplicate cluster that should have been collapsed by [[exact]]
+    * FIRST) can dominate a whole run quadratically. Buckets above the cap are
+    * excluded from pairing; this raw form keeps the oracled semantics exact
+    * at any scale — the production entry point is [[minhashPairsGuarded]],
+    * which measures and LOGS what the cap excluded (a silent cap would
+    * misread as full coverage). */
+  def minhashPairsFor(docs: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val sigs0 = bandSignaturesFor(docs)
     val sigs =
       if (maxBucket == Int.MaxValue) sigs0
       else {
@@ -92,6 +106,25 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+  }
+
+  /** The production near-dup candidate path: band pairing with the hot-bucket
+    * cap ON by default, and the exclusions MEASURED per run (mirroring
+    * kg.Candidates' hot-key measurement) — the count and worst sizes of
+    * excluded buckets are printed so a capped run can never silently read as
+    * full coverage. Returns the pairs. */
+  def minhashPairsGuarded(docs: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val hot = bandSignaturesFor(docs)
+      .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .agg(count(lit(1)).as("n_excluded"), max(col("bucket_n")).as("largest"))
+      .collect()(0)
+    val nExcluded = hot.getLong(0)
+    if (nExcluded > 0)
+      println(s"[dedup] hot-bucket guard: EXCLUDED $nExcluded (band,sig) buckets " +
+        s"larger than $maxBucket docs (largest=${hot.get(1)}) from near-dup pairing — " +
+        "run exact dedup first, or raise maxBucket to include them")
+    minhashPairsFor(docs, maxBucket)
   }
 
   /** SimHash (32-bit): per-term md5 hex high-bits weighted by tf. */
@@ -132,5 +165,75 @@ object Dedup {
       .select(col("d1"), col("d2"),
         round(coalesce(col("i"), lit(0L)).cast("double") /
               (col("na") + col("nb") - coalesce(col("i"), lit(0L))), 6).as("jaccard"))
+  }
+
+  /** Connected components over near-dup pairs — the step that turns pairwise
+    * candidates into the actual DEDUP DECISION: a 3-way duplicate group
+    * {A,B,C} discovered as pairs (A,B),(B,C) must collapse to ONE
+    * representative, which naive pairwise dropping cannot do.
+    *
+    * Algorithm: iterative min-label propagation PLUS pointer jumping
+    * (label(v) ← label(label(v)) each round), all in DataFrames — no
+    * driver-side graph state, every round is joins + a min aggregation. The
+    * jump halves the distance to each component's minimum every round, so
+    * convergence is O(log diameter) rounds, not O(diameter) — the same
+    * doubling idea as the large-star/small-star CC algorithm, which is what
+    * a 10^12-edge deployment would checkpoint per round. Lineage is truncated
+    * with localCheckpoint each round (the standard iterative-DataFrame
+    * pattern) so plans stay constant-size.
+    *
+    * Returns (doc_id, cluster) for every doc that appears in ≥1 pair;
+    * cluster = the component's minimum doc_id (deterministic). */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("v")).distinct()
+      .select(col("v"), col("v").as("l"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // propagate: l(v) ← min(l(v), min over neighbours u of l(u))
+      val nbrMin = edges.join(labels, col("a") === col("v"))
+        .groupBy(col("b")).agg(min(col("l")).as("nl"))
+      val prop = labels.join(nbrMin, col("v") === col("b"), "left_outer")
+        .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+      // pointer jump: l(v) ← l(l(v)) — labels only ever decrease, so chasing
+      // one hop toward the minimum is always sound and doubles the reach
+      val next = prop.as("x")
+        .join(prop.select(col("v").as("v2"), col("l").as("l2")).as("y"),
+              col("x.l") === col("y.v2"), "left_outer")
+        .select(col("x.v").as("v"), least(col("x.l"), coalesce(col("y.l2"), col("x.l"))).as("l"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.select(col("v").as("v0"), col("l").as("l0")), col("v") === col("v0"))
+        .filter(col("l") =!= col("l0")).isEmpty
+      labels = next
+      i += 1
+    }
+    require(converged, s"connected components did not converge in $maxIters rounds")
+    labels.select(col("v").as("doc_id"), col("l").as("cluster"))
+  }
+
+  /** Near-dup cluster collapse (the keep/drop table): every document joined
+    * to its component, singletons as their own cluster; keep = 1 exactly for
+    * the deterministic representative (the component's min doc_id) — dropping
+    * keep=0 rows removes every redundant copy of an N-way duplicate group
+    * while keeping exactly one. */
+  def clustersFor(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    docs.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .withColumn("keep", when(col("cluster") === col("doc_id"), 1).otherwise(0))
+  }
+
+  /** Operator entry: collapse the guarded MinHash-LSH pair graph over the
+    * `documents` table into clusters + keep/drop. */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    clustersFor(docs, minhashPairsGuarded(docs))
   }
 }

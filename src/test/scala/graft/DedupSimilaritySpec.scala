@@ -85,9 +85,47 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(unguarded >= 435, s"mega-cluster should pair quadratically unguarded: $unguarded")
     val guarded = Dedup.minhashPairsFor(df, maxBucket = 10).count()
     assert(guarded == 0, s"capped buckets must not pair: $guarded")
+    // the PRODUCTION path (measured + logged guard) applies the same cap…
+    assert(Dedup.minhashPairsGuarded(df, maxBucket = 10).count() == 0)
+    // …and its default cap leaves normal corpora untouched
+    assert(Dedup.minhashPairsGuarded(docs).as[(Long, Long)].collect().toSet ==
+           Dedup.minhashPairsFor(docs).as[(Long, Long)].collect().toSet)
     // the cap does not disturb normal near-dup discovery
     assert(Dedup.minhashPairsFor(docs, maxBucket = 10).as[(Long, Long)].collect().toSet ==
            Dedup.minhashPairsFor(docs).as[(Long, Long)].collect().toSet)
+  }
+
+  test("cluster collapse: a 3-way duplicate chain keeps exactly one representative") {
+    // {1,2,3} known only via pairs (1,2),(2,3) — pairwise dropping would keep
+    // two of the three; the component collapse must keep exactly one
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L).toDF("doc_id")
+    val out = Dedup.clustersFor(docs, pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out == Map(
+      1L -> (1L, 1), 2L -> (1L, 0), 3L -> (1L, 0),
+      4L -> (4L, 1), 10L -> (10L, 1), 11L -> (10L, 0)))
+  }
+
+  test("cluster collapse: pointer jumping converges on a long chain in O(log n) rounds") {
+    // a 41-node path has diameter 40; plain propagation needs 40 rounds —
+    // the jump must get there well inside the 25-round budget (≈ log2 rounds)
+    val pairs = (0 until 40).map(i => (i.toLong, (i + 1).toLong)).toDF("d1", "d2")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 41 && cc.values.forall(_ == 0L), s"chain did not collapse: $cc")
+  }
+
+  test("cluster collapse end-to-end: planted near-dups drop, all else kept") {
+    val out = Dedup.clustersFor(docs, Dedup.minhashPairsGuarded(docs))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // docs 100..102 are near-dups of 0..2 → cluster to the base doc, keep=0
+    (0 until 3).foreach { i =>
+      assert(out((100 + i).toLong) == (i.toLong, 0), s"dup ${100 + i}: ${out((100 + i).toLong)}")
+    }
+    // every other doc is its own kept cluster
+    (3 until 10).foreach { i => assert(out(i.toLong) == (i.toLong, 1)) }
+    assert(out.values.count(_._2 == 1) == 10, s"exactly the 10 base docs survive: $out")
   }
 
   test("multi-probe LSH: superset of single-probe candidates, better near-dup recall") {

@@ -127,6 +127,28 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
   }
 
+  test("KB-vocabulary prune switches broadcast↔shuffled-hash semi-join on measured size") {
+    val src = CorpusGen.srcFiles(spark, 30).toDF()
+    val pl = Extract.perLine(src)
+    val mentions = Extract.mentionsFromLines(pl)
+    val dict = Candidates.dictionary(CorpusGen.kbEntries(spark).toDF())
+    val cands = Candidates.candidates(mentions, dict, broadcastDict = true)
+    val prevSmj = spark.conf.get("spark.sql.join.preferSortMergeJoin", "true")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    try {
+      def planFor(bcTerms: Boolean): String = plan(graft.kg.Scoring.score(
+        mentions, cands, CorpusGen.kbContexts(spark).toDF(), Some(Extract.contexts(pl)),
+        broadcastKbTerms = bcTerms))
+      val pb = planFor(true)
+      assert(pb.linesIterator.exists(l => l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+        s"no broadcast semi-join with broadcastKbTerms=true:\n$pb")
+      val ps = planFor(false)
+      assert(ps.linesIterator.exists(l => l.contains("ShuffledHashJoin") && l.contains("LeftSemi")),
+        s"no shuffled-hash semi-join with broadcastKbTerms=false:\n$ps")
+      assert(!ps.contains("SortMergeJoin"), s"SMJ in huge-vocabulary scoring plan:\n$ps")
+    } finally spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
+  }
+
   test("partition pruning reaches the lang-partitioned checkpoint scan") {
     val dir = java.nio.file.Files.createTempDirectory("prune").toString
     CorpusGen.srcFiles(spark, 40).toDF()
