@@ -499,11 +499,29 @@ object SparkEntry {
          |SELECT q_id, vec_id, rnk, round(cos6, 4) AS cos FROM r WHERE rnk <= 5""".stripMargin,
     "sim_ivf_topk" ->
       s"""WITH $EmbEx,
-         |cents AS (SELECT vec_id AS cell, pos, x FROM ex WHERE vec_id < 16),
-         |cnorm AS (SELECT cell, sqrt(sum(x*x)) AS cn FROM cents GROUP BY cell),
+         |c0 AS (SELECT vec_id AS cell, pos, x FROM ex WHERE vec_id < 16),
+         |n0 AS (SELECT cell, sqrt(sum(x*x)) AS cn FROM c0 GROUP BY cell),
+         |af0 AS (SELECT e.vec_id, c.cell, round(sum(e.x * c.x) / (n.n * cn.cn), 9) AS aff
+         |        FROM ex e JOIN c0 c ON e.pos = c.pos
+         |        JOIN norms n ON e.vec_id = n.vec_id JOIN n0 cn ON c.cell = cn.cell
+         |        GROUP BY e.vec_id, c.cell, n.n, cn.cn),
+         |as0 AS (SELECT vec_id, cell FROM (
+         |          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell) AS rn FROM af0)
+         |        WHERE rn = 1),
+         |c1 AS (SELECT a.cell, e.pos, round(avg(e.x), 6) AS x FROM as0 a JOIN ex e ON a.vec_id = e.vec_id GROUP BY a.cell, e.pos),
+         |n1 AS (SELECT cell, sqrt(sum(x*x)) AS cn FROM c1 GROUP BY cell),
+         |af1 AS (SELECT e.vec_id, c.cell, round(sum(e.x * c.x) / (n.n * cn.cn), 9) AS aff
+         |        FROM ex e JOIN c1 c ON e.pos = c.pos
+         |        JOIN norms n ON e.vec_id = n.vec_id JOIN n1 cn ON c.cell = cn.cell
+         |        GROUP BY e.vec_id, c.cell, n.n, cn.cn),
+         |as1 AS (SELECT vec_id, cell FROM (
+         |          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell) AS rn FROM af1)
+         |        WHERE rn = 1),
+         |c2 AS (SELECT a.cell, e.pos, round(avg(e.x), 6) AS x FROM as1 a JOIN ex e ON a.vec_id = e.vec_id GROUP BY a.cell, e.pos),
+         |n2 AS (SELECT cell, sqrt(sum(x*x)) AS cn FROM c2 GROUP BY cell),
          |aff AS (SELECT e.vec_id, c.cell, round(sum(e.x * c.x) / (n.n * cn.cn), 9) AS aff
-         |        FROM ex e JOIN cents c ON e.pos = c.pos
-         |        JOIN norms n ON e.vec_id = n.vec_id JOIN cnorm cn ON c.cell = cn.cell
+         |        FROM ex e JOIN c2 c ON e.pos = c.pos
+         |        JOIN norms n ON e.vec_id = n.vec_id JOIN n2 cn ON c.cell = cn.cell
          |        GROUP BY e.vec_id, c.cell, n.n, cn.cn),
          |cells AS (SELECT vec_id, cell FROM (
          |            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell) AS rn FROM aff)

@@ -22,14 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class TermCounts(child: Expression) extends UnaryExpression {
 
+  // containsNull=true is accepted (any parquet checkpoint read makes element
+  // types nullable) — a null element yields the entry (null, 0), exactly like
+  // the HOF form, whose `x === null` comparison filters to nothing (tested in
+  // CodeTokensSpec)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
-    // a null element has no defined term frequency (the HOF form this
-    // replaces emits (null, 0) because `x === null` filters to nothing,
-    // while a naive map count would say (null, n)) — reject at analysis
-    // time rather than silently diverge
-    case ArrayType(StringType, true) => TypeCheckResult.TypeCheckFailure(
-      "term_counts needs array<string> with containsNull=false")
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"term_counts needs array<string>, got $t")
   }
   override def dataType: DataType = ArrayType(
@@ -65,8 +63,14 @@ object TermCounter {
     var i = 0
     while (i < n) {
       val t = terms.getUTF8String(i)
-      val slot = counts.get(t)
-      if (slot == null) counts.put(t, Array(1L)) else slot(0) += 1L
+      if (t == null) {
+        // HOF semantics: null appears once (array_distinct) with tf = 0
+        // (`x === null` filters to nothing) — never incremented
+        if (!counts.containsKey(null)) counts.put(null, Array(0L))
+      } else {
+        val slot = counts.get(t)
+        if (slot == null) counts.put(t, Array(1L)) else slot(0) += 1L
+      }
       i += 1
     }
     val out = new Array[AnyRef](counts.size())

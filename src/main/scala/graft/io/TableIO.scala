@@ -20,6 +20,9 @@ trait TableIO {
   def append(df: DataFrame, table: String): Unit
   def exists(spark: SparkSession, table: String): Boolean
   def drop(spark: SparkSession, table: String): Unit
+  /** Child table names under a prefix (snapshot/partition discovery — the
+    * Iceberg equivalent is the snapshot/partition metadata listing). */
+  def list(spark: SparkSession, prefix: String): Seq[String]
 }
 
 /** Parquet implementation. Atomicity: write to `<table>._tmp`, then a single
@@ -58,5 +61,14 @@ final class ParquetTableIO(root: String) extends TableIO {
     val f = fs(spark)
     f.delete(new Path(p(table)), true)
     f.delete(new Path(p(table) + "._tmp"), true)
+  }
+
+  override def list(spark: SparkSession, prefix: String): Seq[String] = {
+    val f = fs(spark)
+    val dir = new Path(p(prefix))
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filterNot(n => n.endsWith("._tmp") || n.startsWith("_") || n.startsWith("."))
+      .sorted
   }
 }

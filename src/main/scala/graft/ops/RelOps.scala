@@ -21,9 +21,14 @@ import graft.Tables
   */
 object RelOps {
 
-  /** All tokens per doc, including stoplisted ones (TF is over the raw stream). */
+  /** All tokens per doc, including stoplisted ones (TF is over the raw stream).
+    * The isNotNull filter is a no-op on the data (doc_id is never null) but
+    * keeps every tf branch canonically IDENTICAL to branches where a join on
+    * doc_id infers the same constraint — otherwise the inferred filter forks
+    * the subtree and defeats the exchange reuse the composite queries rely on. */
   private def docTerms(spark: SparkSession, dir: String): DataFrame =
     DocOps.srcFiles(spark, dir)
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), explode(DocOps.tokens(col("content"))).as("term"))
 
   /** Mentions = identifier tokens minus the stoplist (same shape as E2). */
@@ -45,7 +50,11 @@ object RelOps {
   // the corpus. Plan-asserted in PlanSpec.
   // --------------------------------------------------------------------------
   def s2Kb(spark: SparkSession, dir: String): DataFrame = {
-    val cnt = docTerms(spark, dir).groupBy(col("term")).agg(count(lit(1)).as("prior"))
+    // prior = total corpus frequency = sum of per-doc tf — rooted in the SAME
+    // (doc_id, term) aggregation as every other tf/idf consumer, so composite
+    // queries (J1–J6, W1, A2–A4) reuse ONE exchange over the corpus scan
+    // (ReusedExchange, plan-asserted) instead of re-scanning per subtree
+    val cnt = a1Tf(spark, dir).groupBy(col("term")).agg(sum(col("tf")).as("prior"))
     val top = cnt.orderBy(col("prior").desc, col("term").asc).limit(20)
     top
       .agg(sort_array(collect_list(struct(
@@ -104,25 +113,34 @@ object RelOps {
   def a1Tf(spark: SparkSession, dir: String): DataFrame =
     docTerms(spark, dir).groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
 
-  def a2Idf(spark: SparkSession, dir: String): DataFrame = {
+  /** IDF derived from the tf frame: tf has exactly one row per (doc, term),
+    * so df = count(*) — identical to countDistinct over the raw stream, but
+    * rooted in the same aggregation exchange as tf itself. The planner then
+    * computes the corpus scan + explode + (doc_id, term) aggregation ONCE and
+    * feeds every consumer through a ReusedExchange — previously each of
+    * a3/a4/j5/w1/j6 re-derived it 3–5× from separate scans. */
+  private def idfFromTf(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
-    val df = docTerms(spark, dir).groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-    df.crossJoin(broadcast(n))
+    // sum(tf ≥ 1) ≡ count(*) here (tf is always ≥ 1) but references tf in a
+    // form the optimizer cannot fold back to count(1) — a bare count would
+    // get the inner count pruned out of this branch (RemoveRedundantAggregates),
+    // leaving two SLIGHTLY different tf aggregates and no exchange reuse.
+    // Keeping both branches byte-identical is what lets the planner compute
+    // the corpus scan + explode + (doc_id, term) aggregation once.
+    a1Tf(spark, dir).groupBy(col("term"))
+      .agg(sum(when(col("tf") >= 1, 1L).otherwise(0L)).as("df"))
+      .crossJoin(broadcast(n))
       .select(col("term"), col("df"),
-        round(log((col("n") + 1).cast("double") / (col("df") + 1)) + 1.0, 6).as("idf"))
+        (log((col("n") + 1).cast("double") / (col("df") + 1)) + 1.0).as("idf"))
   }
 
+  def a2Idf(spark: SparkSession, dir: String): DataFrame =
+    idfFromTf(spark, dir).select(col("term"), col("df"), round(col("idf"), 6).as("idf"))
+
   /** tf-idf weights per (doc, term) — unrounded, internal. */
-  private def tfidf(spark: SparkSession, dir: String): DataFrame = {
-    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
-    val idf = docTerms(spark, dir).groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .crossJoin(broadcast(n))
-      .select(col("term"), (log((col("n") + 1).cast("double") / (col("df") + 1)) + 1.0).as("idf"))
-    a1Tf(spark, dir).join(idf, "term")
+  private def tfidf(spark: SparkSession, dir: String): DataFrame =
+    a1Tf(spark, dir).join(idfFromTf(spark, dir).select(col("term"), col("idf")), "term")
       .select(col("doc_id"), col("term"), (col("tf") * col("idf")).as("w"))
-  }
 
   def a3Norms(spark: SparkSession, dir: String): DataFrame =
     tfidf(spark, dir).groupBy(col("doc_id"))
@@ -130,15 +148,16 @@ object RelOps {
 
   /** A4: cosine(doc tf-idf, fixed query {spark, join, data} with tf=1). */
   def a4CosineQuery(spark: SparkSession, dir: String): DataFrame = {
-    val qTerms = Seq("spark", "join", "data")
+    import spark.implicits._
     val w = tfidf(spark, dir)
-    // query weight = idf(term), i.e. tf=1 on the query side:
-    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
-    val idf = docTerms(spark, dir).groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .crossJoin(broadcast(n))
-      .select(col("term"), (log((col("n") + 1).cast("double") / (col("df") + 1)) + 1.0).as("idf"))
-    val q = idf.filter(col("term").isin(qTerms: _*)).select(col("term"), col("idf").as("wq"))
+    // query weight = idf(term), i.e. tf=1 on the query side. The query terms
+    // join as a 3-row literal frame instead of an isin filter: a static IN
+    // predicate gets inferred across the w ⋈ q join and pushed into one tf
+    // branch, forking it from the canonical form every other branch shares —
+    // the literal join keeps all of them rooted in ONE reused tf exchange.
+    val q = idfFromTf(spark, dir)
+      .join(broadcast(Seq("spark", "join", "data").toDF("term")), "term")
+      .select(col("term"), col("idf").as("wq"))
     val qNorm = q.agg(sqrt(sum(col("wq") * col("wq"))).as("qn"))
     val dNorm = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("dn"))
     w.join(broadcast(q), "term")
@@ -156,11 +175,13 @@ object RelOps {
     * docs that contain the entity's label. */
   def kbContext(spark: SparkSession, dir: String): DataFrame = {
     val kb = s2Kb(spark, dir)
-    val terms = docTerms(spark, dir)
-    val docsWithLabel = terms.join(broadcast(kb), col("term") === col("label"))
+    // co-occurrence counts from the tf frame (sum(tf) ≡ counting the raw
+    // stream), so this rides the same reused (doc_id, term) exchange
+    val tf = a1Tf(spark, dir)
+    val docsWithLabel = tf.join(broadcast(kb), col("term") === col("label"))
       .select(col("entity_id"), col("doc_id")).distinct()
-    val co = docsWithLabel.join(terms, "doc_id")
-      .groupBy(col("entity_id"), col("term")).agg(count(lit(1)).as("cnt"))
+    val co = docsWithLabel.join(tf, "doc_id")
+      .groupBy(col("entity_id"), col("term")).agg(sum(col("tf")).as("cnt"))
     val w = Window.partitionBy(col("entity_id")).orderBy(col("cnt").desc, col("term").asc)
     co.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
       .select(col("entity_id"), col("term"), col("cnt").cast("double").as("we"))

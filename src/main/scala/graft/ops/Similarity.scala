@@ -141,16 +141,14 @@ object Similarity {
 
   /** IVF (inverted-file) ANN — the centroid-bucket alternative to LSH with
     * identical plumbing: the cell id replaces the hyperplane signature as
-    * the shuffle key. Centroids are a deterministic subset of the data
-    * (vec_id < nCells — a real deployment would k-means them; the
-    * assignment/probe/search plumbing is what matters and is identical).
-    * Every vector is assigned to its max-cosine centroid; a query probes its
-    * `nprobe` best cells, then exact cosine top-k within the probed cells.
+    * the shuffle key. Centroids are TRAINED with deterministic seeded
+    * k-means ([[kmeansCentroidsFor]]); every vector is assigned to its
+    * max-cosine centroid; a query probes its `nprobe` best cells, then exact
+    * cosine top-k within the probed cells.
     */
-  def ivfCellsFor(emb: DataFrame, nCells: Int = 16): DataFrame = {
-    val v = vecsFor(emb)
-    val cents = v.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("e").as("ce"))
+  /** Assign every vector to its max-cosine centroid (rounded affinity,
+    * cell-asc tie-break — deterministic across engines/partitionings). */
+  private def assignCells(v: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("aff").desc, col("cell").asc)
     v.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("cell"),
@@ -159,13 +157,39 @@ object Similarity {
       .select(col("vec_id"), col("cell"))
   }
 
+  /** Deterministic seeded k-means, fixed Lloyd rounds, DataFrame-only: seeds
+    * are the first `nCells` vectors; each round reassigns (max cosine) and
+    * recomputes centroids as the element-wise member mean, ROUNDED to 6
+    * decimals so the trained centroids are bit-reproducible across engines
+    * and partition orders (float sums are order-dependent). Empty cells drop
+    * out. `iters = 0` returns the raw seeds (the untrained baseline). At
+    * scale each round is one broadcast-assign + one (cell, dim) aggregation —
+    * no driver-side state; a 10^12-row deployment would train on a sample. */
+  def kmeansCentroidsFor(emb: DataFrame, nCells: Int = 16, iters: Int = 2): DataFrame = {
+    val v = vecsFor(emb)
+    var cents = v.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("e").as("ce"))
+    for (_ <- 0 until iters) {
+      val members = v.join(assignCells(v, cents), "vec_id")
+        .select(col("cell"), posexplode(col("e")).as(Seq("dim", "x")))
+      cents = members.groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+                       s => round(s.getField("m"), 6)).as("ce"))
+    }
+    cents
+  }
+
+  def ivfCellsFor(emb: DataFrame, nCells: Int = 16, iters: Int = 2): DataFrame =
+    assignCells(vecsFor(emb), kmeansCentroidsFor(emb, nCells, iters))
+
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5, nprobe: Int = 2): DataFrame =
     ivfTopKFor(Tables.embeddings(spark, dir), k, nprobe)
 
-  def ivfTopKFor(emb: DataFrame, k: Int = 5, nprobe: Int = 2, nCells: Int = 16): DataFrame = {
-    val v = vecsFor(emb).join(ivfCellsFor(emb, nCells), "vec_id")
-    val cents = vecsFor(emb).filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("e").as("ce"))
+  def ivfTopKFor(emb: DataFrame, k: Int = 5, nprobe: Int = 2, nCells: Int = 16,
+                 iters: Int = 2): DataFrame = {
+    val cents = kmeansCentroidsFor(emb, nCells, iters)
+    val v = vecsFor(emb).join(assignCells(vecsFor(emb), cents), "vec_id")
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("aff").desc, col("cell").asc)
     val probes = vecsFor(emb).filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))

@@ -26,6 +26,14 @@ import graft.kg.{Candidates, Canonicalize, Extract, Scoring}
   *    the batch pipeline run over every file seen up to and including it
   *    exactly (asserted in StreamingSpec), instead of drifting on
   *    micro-batch-local document statistics.
+  *  - **bounded stats growth**: every `compactEvery` batches the per-batch
+  *    stats dirs merge into one `*_compact/upto=<B>` snapshot and the merged
+  *    dirs are deleted — a long-running stream reads O(compactEvery) dirs,
+  *    not O(batches). Crash-safe without a manifest: the snapshot commits
+  *    (atomic rename) BEFORE any delete, and the reader takes the latest
+  *    snapshot plus only the delta batches NEWER than it, so a crash that
+  *    leaves both the new snapshot and not-yet-deleted batch dirs can never
+  *    double-count.
   */
 object StreamingPipeline {
 
@@ -42,7 +50,7 @@ object StreamingPipeline {
     * underscore path — invisible to a plain parquet read of outDir) so the
     * stream≡batch score equality is externally checkable. */
   def start(spark: SparkSession, srcDir: String, kb: DataFrame, kbCtx: DataFrame,
-            outDir: String, checkpointDir: String): StreamingQuery = {
+            outDir: String, checkpointDir: String, compactEvery: Int = 8): StreamingQuery = {
     val dict = Candidates.dictionary(kb)
     val outIo = new ParquetTableIO(outDir)
     val statsIo = new ParquetTableIO(s"$checkpointDir/idf_stats")
@@ -50,17 +58,18 @@ object StreamingPipeline {
     stream.writeStream
       .option("checkpointLocation", s"$checkpointDir/query")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(spark, batch, batchId, dict, kbCtx, outIo, statsIo)
+        processBatch(spark, batch, batchId, dict, kbCtx, outIo, statsIo, compactEvery)
       }
       .start()
   }
 
   /** One micro-batch, replay-idempotent (public so the exactly-once contract
     * is directly testable: calling it twice with the same batchId is a
-    * no-op the second time). */
+    * no-op the second time). `compactEvery = 0` disables stats compaction. */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                    dict: DataFrame, kbCtx: DataFrame,
-                   outIo: ParquetTableIO, statsIo: ParquetTableIO): Unit = {
+                   outIo: ParquetTableIO, statsIo: ParquetTableIO,
+                   compactEvery: Int = 8): Unit = {
     val triplesTable = s"batch=$batchId"
     // replayed batch whose output already committed → skip (idempotence)
     if (!outIo.exists(spark, triplesTable)) {
@@ -72,10 +81,13 @@ object StreamingPipeline {
       //    stats rather than double-counting)
       statsIo.write(Scoring.termDf(contexts), s"df/batch=$batchId")
       statsIo.write(contexts.agg(count(lit(1)).as("n")), s"n/batch=$batchId")
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        compactStats(spark, statsIo, batchId)
       // 2. global IDF snapshot over every batch seen so far
+      val (dfStats, nStats) = readStats(spark, statsIo)
       val idf = Scoring.idfFromStats(
-        statsIo.read(spark, "df").select(col("term"), col("df")),
-        statsIo.read(spark, "n").agg(sum(col("n")).as("n")))
+        dfStats.select(col("term"), col("df")),
+        nStats.agg(sum(col("n")).as("n")))
       val mentions = Extract.mentionsFromLines(perLine)
       val cands = Candidates.candidates(mentions, dict, broadcastDict = true)
       val top1 = Scoring.top1(Scoring.score(mentions, cands, kbCtx,
@@ -85,6 +97,48 @@ object StreamingPipeline {
       outIo.write(Canonicalize.triples(Canonicalize.canonicalMentions(mentions, top1)),
                   triplesTable)
     }
+  }
+
+  /** The accumulated IDF stats: latest compacted snapshot (if any) plus only
+    * the per-batch deltas NEWER than it — stale batch dirs a crashed
+    * compaction failed to delete are ignored, never double-counted. */
+  def readStats(spark: SparkSession, statsIo: ParquetTableIO): (DataFrame, DataFrame) = {
+    def assemble(deltaDir: String, compactDir: String): DataFrame = {
+      val base = ids(spark, statsIo, compactDir, "upto=").maxOption
+      val deltas = ids(spark, statsIo, deltaDir, "batch=")
+        .filter(id => base.forall(id > _)).sorted
+      val frames =
+        base.map(b => statsIo.read(spark, s"$compactDir/upto=$b")).toSeq ++
+        deltas.map(id => statsIo.read(spark, s"$deltaDir/batch=$id"))
+      frames.reduce(_ unionByName _)
+    }
+    (assemble("df", "df_compact"), assemble("n", "n_compact"))
+  }
+
+  private def ids(spark: SparkSession, statsIo: ParquetTableIO,
+                  dir: String, prefix: String): Seq[Long] =
+    statsIo.list(spark, dir).collect {
+      case n if n.startsWith(prefix) => n.stripPrefix(prefix).toLong
+    }
+
+  /** Merge everything accumulated so far into one snapshot per stats table,
+    * then delete the merged inputs. Ordering is the crash-safety: snapshot
+    * commits (atomic tmp+rename) BEFORE any delete; re-running after a crash
+    * rewrites the identical snapshot (deterministic aggregation of the same
+    * inputs) and re-attempts the deletes. */
+  def compactStats(spark: SparkSession, statsIo: ParquetTableIO, uptoId: Long): Unit = {
+    val (dfStats, nStats) = readStats(spark, statsIo)
+    statsIo.write(dfStats.groupBy(col("term")).agg(sum(col("df")).as("df")),
+                  s"df_compact/upto=$uptoId")
+    statsIo.write(nStats.agg(sum(col("n")).as("n")), s"n_compact/upto=$uptoId")
+    for (id <- ids(spark, statsIo, "df", "batch=") if id <= uptoId)
+      statsIo.drop(spark, s"df/batch=$id")
+    for (id <- ids(spark, statsIo, "n", "batch=") if id <= uptoId)
+      statsIo.drop(spark, s"n/batch=$id")
+    for (old <- ids(spark, statsIo, "df_compact", "upto=") if old < uptoId)
+      statsIo.drop(spark, s"df_compact/upto=$old")
+    for (old <- ids(spark, statsIo, "n_compact", "upto=") if old < uptoId)
+      statsIo.drop(spark, s"n_compact/upto=$old")
   }
 
   /** Natively streaming link stream (no aggregation): mention extraction +

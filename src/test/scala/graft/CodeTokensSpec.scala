@@ -110,13 +110,16 @@ class CodeTokensSpec extends AnyFunSuite {
       transform(array_distinct(c), t =>
         struct(t.as("term"), size(filter(c, x => x === t)).cast("long").as("tf")))
     val r = new scala.util.Random(99L)
-    val pool = Array("alpha", "beta", "gamma", "kernel", "socket", "x", "yy")
-    val arrays: Seq[Seq[String]] = Seq(Seq.empty[String], Seq("solo"), Seq("a", "a", "a")) ++
+    // null elements included: both forms must emit (null, 0) at the null's
+    // first occurrence (`x === null` filters to nothing in the HOF form)
+    val pool = Array("alpha", "beta", "gamma", "kernel", "socket", "x", "yy", null)
+    val arrays: Seq[Seq[String]] = Seq(Seq.empty[String], Seq("solo"), Seq("a", "a", "a"),
+                                       Seq(null, "a", null, "a")) ++
       (0 until 200).map(_ => Seq.fill(r.nextInt(30))(pool(r.nextInt(pool.length))))
     val df = arrays.toDF("xs")
       .select(termCounts(col("xs")).as("fast"), hof(col("xs")).as("slow"))
-    assert(df.filter(col("fast") =!= col("slow")).count() == 0,
-      df.filter(col("fast") =!= col("slow")).take(2).mkString(" | "))
+    assert(df.filter(!(col("fast") <=> col("slow"))).count() == 0,
+      df.filter(!(col("fast") <=> col("slow"))).take(2).mkString(" | "))
   }
 
   test("code_tokens stays inside whole-stage codegen") {

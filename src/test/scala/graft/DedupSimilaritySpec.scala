@@ -144,12 +144,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val cells = Similarity.ivfCellsFor(embeddings)
     assert(cells.count() == embeddings.count())
     assert(cells.select("vec_id").distinct().count() == embeddings.count())
-    val top = Similarity.ivfTopKFor(embeddings, k = 3, nprobe = 2)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // queries 0..4 have planted near-dups 1000..1004 (cos ≈ 0.995): a
-    // near-identical vector lands in the query's own cell, so nprobe≥1 finds it
-    val hits = (0 until 5).count(i => top.contains((i.toLong, (1000 + i).toLong)))
-    assert(hits >= 4, s"IVF should recover ≥4/5 planted rank-1 neighbours, got $hits ($top)")
+    def hitsOf(iters: Int): Int = {
+      val top = Similarity.ivfTopKFor(embeddings, k = 3, nprobe = 2, iters = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // queries 0..4 have planted near-dups 1000..1004 (cos ≈ 0.995): a
+      // near-identical vector lands in the query's own cell, so nprobe≥1 finds it
+      (0 until 5).count(i => top.contains((i.toLong, (1000 + i).toLong)))
+    }
+    val trained = hitsOf(2)
+    assert(trained >= 4, s"IVF should recover ≥4/5 planted rank-1 neighbours, got $trained")
+    // k-means training must not lose recall vs the raw-seed stand-in (iters=0)
+    assert(trained >= hitsOf(0), "trained centroids lost recall vs seed centroids")
   }
 
   test("embedding LSH bands: recall ≥ 0.9 vs brute-force high-cosine pairs") {

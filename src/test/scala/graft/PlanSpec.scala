@@ -127,6 +127,25 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
   }
 
+  test("tf-rooted composite queries reuse one exchange: documents scanned ≤2×") {
+    // a3/a4/j5/w1/j6 used to re-derive tf/idf from separate corpus scans
+    // (3–5 scans per query); everything now roots in the one (doc_id, term)
+    // aggregation, which AQE materializes once and reuses (ReusedExchange)
+    for ((name, df) <- Seq("a3_norms" -> RelOps.a3Norms(spark, sf),
+                           "a4_cosine_query" -> RelOps.a4CosineQuery(spark, sf),
+                           "j5_cosine_score" -> RelOps.j5CosineScore(spark, sf),
+                           "j6_eval_pr" -> RelOps.j6Eval(spark, sf))) {
+      df.collect() // finalize the adaptive plan (reuse happens at runtime)
+      // count scans in the FINAL adaptive plan only (the string also echoes
+      // the pre-reuse "Initial Plan", which would double-count)
+      val p = plan(df).split("== Initial Plan ==")(0)
+      val scans = p.linesIterator.count(l => l.contains("FileScan parquet") &&
+                                             l.contains("documents"))
+      assert(scans <= 2, s"$name scans documents $scans times:\n$p")
+      assert(p.contains("ReusedExchange"), s"$name has no exchange reuse:\n$p")
+    }
+  }
+
   test("KB-vocabulary prune switches broadcast↔shuffled-hash semi-join on measured size") {
     val src = CorpusGen.srcFiles(spark, 30).toDF()
     val pl = Extract.perLine(src)

@@ -88,6 +88,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(statsIo.read(spark, "df").count() == df1, "replay double-counted IDF stats")
   }
 
+  test("IDF stats compaction: dirs stay bounded, scores identical across the boundary") {
+    import graft.io.ParquetTableIO
+    val kb = CorpusGen.kbEntries(spark).toDF()
+    val kbCtx = CorpusGen.kbContexts(spark).toDF()
+    val dict = Candidates.dictionary(kb)
+    def chunk(b: Int) =
+      spark.range(b * 20L, (b + 1) * 20L).map(id => CorpusGen.genFile(id)._1).toDF()
+    def run(compactEvery: Int): (String, ParquetTableIO) = {
+      val outDir = Files.createTempDirectory(s"compact_out_$compactEvery").toString
+      val ckpt = Files.createTempDirectory(s"compact_ckpt_$compactEvery").toString
+      val statsIo = new ParquetTableIO(s"$ckpt/idf_stats")
+      val outIo = new ParquetTableIO(outDir)
+      (0 to 3).foreach { b =>
+        StreamingPipeline.processBatch(spark, chunk(b), b.toLong, dict, kbCtx,
+          outIo, statsIo, compactEvery)
+      }
+      (outDir, statsIo)
+    }
+    val (outC, statsC) = run(compactEvery = 2)   // compactions after batches 1 and 3
+    val (outU, _)      = run(compactEvery = 0)   // uncompacted reference
+    // bounded: all four batch dirs merged away, exactly one snapshot survives
+    assert(statsC.list(spark, "df").isEmpty && statsC.list(spark, "n").isEmpty)
+    assert(statsC.list(spark, "df_compact") == Seq("upto=3"))
+    assert(statsC.list(spark, "n_compact") == Seq("upto=3"))
+    // replaying across the boundary stays exactly-once, and a crashed
+    // compaction re-run rewrites the identical snapshot
+    StreamingPipeline.processBatch(spark, chunk(1), 1L, dict, kbCtx,
+      new ParquetTableIO(outC), statsC, compactEvery = 2)
+    StreamingPipeline.compactStats(spark, statsC, 3L)
+    def scores(dir: String) = spark.read.parquet(s"$dir/_scores")
+      .select("mention_id", "entity_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(scores(outC).nonEmpty && scores(outC) == scores(outU),
+      "compaction changed the global-IDF scores")
+  }
+
   test("watermarked tumbling-window aggregation matches the batch aggregation") {
     val sf = "/root/testdata/sf0.001"
     val batchEvents = spark.read.parquet(s"$sf/events.parquet")
