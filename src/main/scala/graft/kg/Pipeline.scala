@@ -93,11 +93,15 @@ final class Pipeline(io: TableIO, runId: String, resume: Boolean = false) {
     // dictionary-join policy above. spark.graft.idf.approx=true switches the
     // document-frequency aggregation to HLL for 10^12-row corpora.
     val approxIdf = spark.conf.getOption("spark.graft.idf.approx").exists(_.toBoolean)
-    val kbCtxRows = kbCtx.count()
-    // the vocabulary prune's broadcast is measured separately: the distinct
+    // ONE measurement job for both policy decisions (row count for the join
+    // strategy, distinct-term count for the vocabulary-prune broadcast — the
     // term set is far smaller than the exploded context table, so it often
-    // still broadcasts when kbCtx itself cannot
-    val kbTermRows = kbCtx.select(col("term")).distinct().count()
+    // still broadcasts when kbCtx itself cannot); two sequential driver
+    // actions here would be pure serial time in every run
+    val kbMeasure = kbCtx.agg(count(lit(1)).as("rows"),
+                              countDistinct(col("term")).as("terms")).collect()(0)
+    val kbCtxRows = kbMeasure.getLong(0)
+    val kbTermRows = kbMeasure.getLong(1)
     val top1 = stage(spark, "stage3_top1",
       Scoring.top1(Scoring.score(mentions, cands, kbCtx, Some(contexts),
         broadcastKbCtx = kbCtxRows <= broadcastKbCtxMaxRows, approxIdf = approxIdf,

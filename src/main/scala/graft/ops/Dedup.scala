@@ -91,8 +91,10 @@ object Dedup {
     * at any scale — the production entry point is [[minhashPairsGuarded]],
     * which measures and LOGS what the cap excluded (a silent cap would
     * misread as full coverage). */
-  def minhashPairsFor(docs: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame = {
-    val sigs0 = bandSignaturesFor(docs)
+  def minhashPairsFor(docs: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame =
+    pairsFromSigs(bandSignaturesFor(docs), maxBucket)
+
+  private def pairsFromSigs(sigs0: DataFrame, maxBucket: Int): DataFrame = {
     val sigs =
       if (maxBucket == Int.MaxValue) sigs0
       else {
@@ -112,9 +114,12 @@ object Dedup {
     * cap ON by default, and the exclusions MEASURED per run (mirroring
     * kg.Candidates' hot-key measurement) — the count and worst sizes of
     * excluded buckets are printed so a capped run can never silently read as
-    * full coverage. Returns the pairs. */
+    * full coverage. The signature table is materialized once (localCheckpoint
+    * — at production scale a real checkpoint) and shared by the guard
+    * measurement and the pair join, instead of recomputing minhashes twice. */
   def minhashPairsGuarded(docs: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val hot = bandSignaturesFor(docs)
+    val sigs = bandSignaturesFor(docs).localCheckpoint()
+    val hot = sigs
       .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)
       .agg(count(lit(1)).as("n_excluded"), max(col("bucket_n")).as("largest"))
@@ -124,7 +129,7 @@ object Dedup {
       println(s"[dedup] hot-bucket guard: EXCLUDED $nExcluded (band,sig) buckets " +
         s"larger than $maxBucket docs (largest=${hot.get(1)}) from near-dup pairing — " +
         "run exact dedup first, or raise maxBucket to include them")
-    minhashPairsFor(docs, maxBucket)
+    pairsFromSigs(sigs, maxBucket)
   }
 
   /** SimHash (32-bit): per-term md5 hex high-bits weighted by tf. */
