@@ -91,6 +91,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "dedup_clusters"     -> Dedup.clusters _,
     "dedup_embcos_pairs" -> Similarity.embeddingCosinePairs _,
+    // incremental (delta) ingest: sha-based change detection over a
+    // deterministic in-query v2 corpus (kg.Delta — the pipeline-level
+    // delta composition is golden-tested against a full run in DeltaSpec)
+    "delta_changed_docs" -> graft.kg.Delta.changedDocs _,
+    "delta_stale_docs"   -> graft.kg.Delta.staleDocs _,
     // similarity search
     "sim_brute_topk"     -> ((s: SparkSession, dir: String) => Similarity.bruteForceTopK(s, dir)),
     "sim_lsh_buckets"    -> Similarity.lshBuckets _,
@@ -432,6 +437,29 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
          |       CASE WHEN coalesce(c.cluster, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS keep
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin,
+    // delta ingest: the v2 corpus (delete %101, modify %7, clone %50 as new
+    // ids) built in SQL, then the same (key, sha) anti-joins as kg.Delta
+    "delta_changed_docs" ->
+      """WITH prev AS (SELECT doc_id, text FROM documents),
+         |cur AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' changed' ELSE text END AS text
+         |  FROM prev WHERE doc_id % 101 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM prev WHERE doc_id % 50 = 0)
+         |SELECT c.doc_id, CASE WHEN c.doc_id >= 100000 THEN 1 ELSE 0 END AS is_new
+         |FROM cur c LEFT JOIN prev p
+         |  ON p.doc_id = c.doc_id AND sha256(p.text) = sha256(c.text)
+         |WHERE p.doc_id IS NULL""".stripMargin,
+    "delta_stale_docs" ->
+      """WITH prev AS (SELECT doc_id, text FROM documents),
+         |cur AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' changed' ELSE text END AS text
+         |  FROM prev WHERE doc_id % 101 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM prev WHERE doc_id % 50 = 0)
+         |SELECT p.doc_id FROM prev p LEFT JOIN cur c
+         |  ON c.doc_id = p.doc_id AND sha256(c.text) = sha256(p.text)
+         |WHERE c.doc_id IS NULL""".stripMargin,
     "dedup_embcos_pairs" ->
       s"""WITH $EmbEx,
          |coef AS (SELECT p.plane, d.dim, CASE WHEN substr(md5(CAST(p.plane AS VARCHAR) || '_' || CAST(d.dim AS VARCHAR)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END AS coef

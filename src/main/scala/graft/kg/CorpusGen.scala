@@ -212,6 +212,42 @@ object CorpusGen {
     }
   }
 
+  // --- V2 corpus: deterministic mutation of srcFiles(n) for delta-ingest
+  // tests/runs — the three change kinds a production incremental batch sees:
+  // every 101st file DELETED, every (id%17==3) file MODIFIED (one appended
+  // mention-free comment line: content/sha change, ±k contexts shift, gold
+  // unchanged), and 5% NEW files appended after the original id range.
+  private def v2Keep(id: Long, nFiles: Int): Boolean =
+    !(id < nFiles && id % 101 == 0)
+
+  private def v2Mutate(f: SourceFile, id: Long): SourceFile =
+    if (id % 17 == 3) f.copy(content = f.content + "\n// housekeeping sweep")
+    else f
+
+  def srcFilesV2(spark: SparkSession, nFiles: Int): Dataset[SourceFile] = {
+    import spark.implicits._
+    spark.range(nFiles + nFiles / 20)
+      .filter(id => v2Keep(id, nFiles))
+      .map(id => v2Mutate(genFile(id)._1, id))
+  }
+
+  def goldV2(spark: SparkSession, nFiles: Int): Dataset[Gold] = {
+    import spark.implicits._
+    spark.range(nFiles + nFiles / 20)
+      .filter(id => v2Keep(id, nFiles))
+      .flatMap(id => genFile(id)._2)
+  }
+
+  def fileShasV2(spark: SparkSession, nFiles: Int): Dataset[FileSha] = {
+    import spark.implicits._
+    spark.range(nFiles + nFiles / 20)
+      .filter(id => v2Keep(id, nFiles))
+      .map { id =>
+        val f = v2Mutate(genFile(id)._1, id)
+        FileSha(f.repo, f.path, f.commit, sha256Hex(f.content))
+      }
+  }
+
   def kbEntries(spark: SparkSession): Dataset[KbEntry] = {
     import spark.implicits._
     spark.range(1, NumEntities + 1).map(id => kbEntry(id))

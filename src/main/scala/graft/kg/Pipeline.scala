@@ -87,11 +87,22 @@ final class Pipeline(io: TableIO, runId: String, resume: Boolean = false) {
       Candidates.candidates(mentions, dict, broadcastDict = dictRows <= broadcastDictMaxRows,
                             saltR = saltR, hotThreshold = hotThreshold))
 
-    // Stage 3: context scoring + top-1. The kbCtx broadcast is decided on
-    // measured size (a DBpedia-scale KB's exploded context table is multi-GB
-    // — then the scoring join runs as a shuffled hash join), mirroring the
-    // dictionary-join policy above. spark.graft.idf.approx=true switches the
-    // document-frequency aggregation to HLL for 10^12-row corpora.
+    linkAndMaterialize(spark, mentions, cands, contexts, kbCtx,
+      broadcastKbCtxMaxRows, broadcastKbTermsMaxRows)
+  }
+
+  /** Stages 3–4, shared by full and delta runs (these are corpus-GLOBAL —
+    * IDF and majority vote see the whole composed corpus, so a delta run's
+    * output equals a full run's exactly).
+    *
+    * Stage 3: context scoring + top-1. The kbCtx broadcast is decided on
+    * measured size (a DBpedia-scale KB's exploded context table is multi-GB
+    * — then the scoring join runs as a shuffled hash join), mirroring the
+    * dictionary-join policy. spark.graft.idf.approx=true switches the
+    * document-frequency aggregation to HLL for 10^12-row corpora. */
+  private def linkAndMaterialize(spark: SparkSession, mentions: DataFrame,
+      cands: DataFrame, contexts: DataFrame, kbCtx: DataFrame,
+      broadcastKbCtxMaxRows: Long, broadcastKbTermsMaxRows: Long): DataFrame = {
     val approxIdf = spark.conf.getOption("spark.graft.idf.approx").exists(_.toBoolean)
     // ONE measurement job for both policy decisions (row count for the join
     // strategy, distinct-term count for the vocabulary-prune broadcast — the
@@ -112,6 +123,69 @@ final class Pipeline(io: TableIO, runId: String, resume: Boolean = false) {
       Canonicalize.triples(Canonicalize.canonicalMentions(mentions, top1)),
       Seq("pred"))
   }
+
+  /** Incremental run against a previous run's checkpoints (`prevIo`): the
+    * per-byte stages (sha, extraction, candidate join) execute on CHANGED
+    * files only and checkpoint only the delta rows; unchanged files' per-file
+    * intermediates are composed back in from the previous checkpoints with an
+    * anti-join against the (small) stale key set — content never moves for
+    * an unchanged file. The corpus-global stages (IDF, vote) then recompute
+    * over the composed compact rows, so the emitted triples are EXACTLY what
+    * a full run on the new corpus emits (DeltaSpec golden test).
+    *
+    * `snapshot` checks the per-row sha256 invariant for the changed rows
+    * (the previous run already proved it for the rest). */
+  def runDelta(spark: SparkSession, cur: DataFrame, kb: DataFrame,
+               kbCtx: DataFrame, prevIo: TableIO,
+               snapshot: Option[DataFrame] = None,
+               k: Int = 2, saltR: Int = 8, hotThreshold: Long = 10000L,
+               broadcastDictMaxRows: Long = 1000000L,
+               broadcastKbCtxMaxRows: Long = 10000000L,
+               broadcastKbTermsMaxRows: Long = 5000000L): DataFrame = {
+    val prevFiles = prevIo.read(spark, "stage0_files")
+    val curSha = cur.withColumn("sha256", sha2(col("content"), 256))
+
+    // Stage 0Δ: changed (new or content-drifted) files only
+    val filesDelta = stage(spark, "stage0_files_delta",
+      Delta.changed(curSha, prevFiles), Seq("lang"))
+    val staleKeys = Delta.stale(prevFiles, curSha)
+    snapshot.foreach { snap =>
+      val mismatches = filesDelta.select(col("repo"), col("path"), col("commit"), col("sha256"))
+        .join(snap.withColumnRenamed("sha256", "sha_expected"), Delta.FileKey)
+        .filter(col("sha256") =!= col("sha_expected"))
+        .count()
+      require(mismatches == 0, s"sha256 invariant violated on delta: $mismatches rows")
+    }
+
+    // Stage 1Δ/2Δ: extraction and the candidate join are file-local, so the
+    // delta rows are just the stages applied to the changed files; the
+    // candidate join's output is per-mention, so strategy differences
+    // (hot-key split measured on the delta) cannot change the row set.
+    val perLineDelta  = stage(spark, "stage1_lines_delta", Extract.perLine(filesDelta, k))
+    val mentionsDelta = stage(spark, "stage1_mentions_delta",
+      Extract.mentionsFromLines(perLineDelta))
+    val dict = Candidates.dictionary(kb)
+    val dictRows = dict.count()
+    val candsDelta = stage(spark, "stage2_candidates_delta",
+      Candidates.candidates(mentionsDelta, dict,
+        broadcastDict = dictRows <= broadcastDictMaxRows,
+        saltR = saltR, hotThreshold = hotThreshold))
+
+    // Composition: previous per-file rows minus stale keys, plus the delta.
+    // Candidates carry no file columns — their survivors follow the surviving
+    // mentions by mention_id (a file-local hash).
+    val mentionsSurv = Delta.survivors(prevIo.read(spark, "stage1_mentions"), staleKeys)
+    val perLine  = Delta.survivors(prevIo.read(spark, "stage1_lines"), staleKeys)
+      .unionByName(perLineDelta)
+    val mentions = mentionsSurv.unionByName(mentionsDelta)
+    val cands = prevIo.read(spark, "stage2_candidates")
+      .join(mentionsSurv.select(col("mention_id")), Seq("mention_id"), "left_semi")
+      .unionByName(candsDelta)
+    val contexts = Extract.contexts(perLine)
+
+    linkAndMaterialize(spark, mentions, cands, contexts, kbCtx,
+      broadcastKbCtxMaxRows, broadcastKbTermsMaxRows)
+  }
 }
 
 /** spark-submit entry point:
@@ -126,7 +200,7 @@ final class Pipeline(io: TableIO, runId: String, resume: Boolean = false) {
   * of the reference points the engine at their own corpus and gold files. */
 object Pipeline {
   def main(args: Array[String]): Unit = {
-    val valueFlags = Set("--input", "--kb", "--kbctx", "--gold")
+    val valueFlags = Set("--input", "--kb", "--kbctx", "--gold", "--delta")
     val pos = args.indices
       .filter(i => !args(i).startsWith("--") && (i == 0 || !valueFlags.contains(args(i - 1))))
       .map(args)
@@ -165,25 +239,37 @@ object Pipeline {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
                    initialParts.toString)
     try {
-      val src   = flag("--input").map(spark.read.parquet(_))
-        .getOrElse(CorpusGen.srcFiles(spark, nFiles).toDF())
+      // --delta prevCkpt: incremental run — synthetic mode uses the V2
+      // (mutated) corpus against a previous full run's checkpoints
+      val deltaPrev = flag("--delta")
+      val src   = flag("--input").map(spark.read.parquet(_)).getOrElse(
+        if (deltaPrev.isDefined) CorpusGen.srcFilesV2(spark, nFiles).toDF()
+        else CorpusGen.srcFiles(spark, nFiles).toDF())
       val kb    = flag("--kb").map(spark.read.parquet(_))
         .getOrElse(CorpusGen.kbEntries(spark).toDF())
       val kbCtx = flag("--kbctx").map(spark.read.parquet(_))
         .getOrElse(CorpusGen.kbContexts(spark).toDF())
       val snapshot = if (flag("--input").isDefined) None
+                     else if (deltaPrev.isDefined) Some(CorpusGen.fileShasV2(spark, nFiles).toDF())
                      else Some(CorpusGen.fileShas(spark, nFiles).toDF())
-      val runId = flag("--input").map(p => s"run-$p").getOrElse(s"run-$nFiles")
+      val runId = flag("--input").map(p => s"run-$p")
+        .getOrElse(s"run-$nFiles${if (deltaPrev.isDefined) "-delta" else ""}")
       val pipe = new Pipeline(new ParquetTableIO(ckpt), runId = runId, resume = resume)
       val t0 = System.nanoTime()
-      val triples = pipe.run(spark, src, kb, kbCtx, snapshot = snapshot)
+      val triples = deltaPrev match {
+        case Some(prev) =>
+          pipe.runDelta(spark, src, kb, kbCtx, new ParquetTableIO(prev), snapshot = snapshot)
+        case None => pipe.run(spark, src, kb, kbCtx, snapshot = snapshot)
+      }
       val n = triples.count()
       val sec = (System.nanoTime() - t0) / 1e9
       // S4 exercised for real: gold is read from storage (user-supplied via
       // --gold, or the generator fixture materialized first)
       val goldPath = flag("--gold").getOrElse {
         val p = s"$ckpt/gold_fixture"
-        CorpusGen.gold(spark, nFiles).toDF().write.mode("overwrite").parquet(p)
+        val g = if (deltaPrev.isDefined) CorpusGen.goldV2(spark, nFiles)
+                else CorpusGen.gold(spark, nFiles)
+        g.toDF().write.mode("overwrite").parquet(p)
         p
       }
       val pr = Eval.precisionRecallFromPath(spark, triples, goldPath).collect()(0)
