@@ -71,6 +71,10 @@ final class Pipeline(io: TableIO, runId: String, resume: Boolean = false) {
         .count()
       require(mismatches == 0, s"sha256 invariant violated: $mismatches rows")
     }
+    // Compact (key, sha) table — what the NEXT run's delta mode diffs against
+    // (so change detection never has to re-read this run's content column).
+    stage(spark, "stage0_shas",
+      files.select((Delta.FileKey :+ "sha256").map(col): _*))
 
     // Stage 1: extraction — one windowed pass writes the per-line table
     // (mention structs + context); mention rows derive from it narrowly and
@@ -134,7 +138,11 @@ final class Pipeline(io: TableIO, runId: String, resume: Boolean = false) {
     * a full run on the new corpus emits (DeltaSpec golden test).
     *
     * `snapshot` checks the per-row sha256 invariant for the changed rows
-    * (the previous run already proved it for the rest). */
+    * (the previous run already proved it for the rest).
+    *
+    * A delta run writes the composed canonical stage tables (plus a compact
+    * (key, sha) corpus fingerprint), so its checkpoint dir is itself a valid
+    * `prevIo` — delta runs chain day over day (DeltaSpec). */
   def runDelta(spark: SparkSession, cur: DataFrame, kb: DataFrame,
                kbCtx: DataFrame, prevIo: TableIO,
                snapshot: Option[DataFrame] = None,
@@ -142,13 +150,33 @@ final class Pipeline(io: TableIO, runId: String, resume: Boolean = false) {
                broadcastDictMaxRows: Long = 1000000L,
                broadcastKbCtxMaxRows: Long = 10000000L,
                broadcastKbTermsMaxRows: Long = 5000000L): DataFrame = {
-    val prevFiles = prevIo.read(spark, "stage0_files")
-    val curSha = cur.withColumn("sha256", sha2(col("content"), 256))
+    val keyShaCols = (Delta.FileKey :+ "sha256").map(col)
+    // Previous corpus fingerprint: the compact (key, sha) table when the
+    // previous run wrote one (full and delta runs both do), else derived from
+    // its content checkpoint (older layouts).
+    val prevShas = (if (prevIo.exists(spark, "stage0_shas")) prevIo.read(spark, "stage0_shas")
+                    else prevIo.read(spark, "stage0_files"))
+      .select(keyShaCols: _*)
 
-    // Stage 0Δ: changed (new or content-drifted) files only
+    // Stage 0Δ: ONE content-hash pass over the current corpus writes this
+    // run's compact (key, sha) table (which also makes THIS run a valid base
+    // for the next delta); change detection then runs on compact keys only,
+    // and only the changed files' content is touched again.
+    val curShas = stage(spark, "stage0_shas",
+      cur.withColumn("sha256", sha2(col("content"), 256)).select(keyShaCols: _*))
+    // The churn key sets are checkpointed too: they are tiny, every composed
+    // stage below consumes them (one read each instead of re-deriving the
+    // sha-table join per subtree), and their lineage rows make the run's
+    // churn auditable (how many files changed / went stale).
+    val changedKeys = stage(spark, "stage0_changed_keys",
+      Delta.changed(curShas, prevShas).select(Delta.FileKey.map(col): _*))
+    val staleKeys = stage(spark, "stage0_stale_keys", Delta.stale(prevShas, curShas))
+    // NOT partitioned by lang (unlike stage0_files): the delta is churn-sized,
+    // and a zero-churn day must still write a readable (empty) checkpoint —
+    // an empty partitioned parquet write has no schema to read back.
     val filesDelta = stage(spark, "stage0_files_delta",
-      Delta.changed(curSha, prevFiles), Seq("lang"))
-    val staleKeys = Delta.stale(prevFiles, curSha)
+      cur.join(changedKeys, Delta.FileKey, "left_semi")
+        .withColumn("sha256", sha2(col("content"), 256)))
     snapshot.foreach { snap =>
       val mismatches = filesDelta.select(col("repo"), col("path"), col("commit"), col("sha256"))
         .join(snap.withColumnRenamed("sha256", "sha_expected"), Delta.FileKey)
@@ -171,16 +199,26 @@ final class Pipeline(io: TableIO, runId: String, resume: Boolean = false) {
         broadcastDict = dictRows <= broadcastDictMaxRows,
         saltR = saltR, hotThreshold = hotThreshold))
 
-    // Composition: previous per-file rows minus stale keys, plus the delta.
+    // Composition: previous per-file rows minus stale keys, plus the delta —
+    // CHECKPOINTED under the canonical stage names, for two reasons that both
+    // bite at scale: (a) stage 3/4 consume these tables in several subtrees,
+    // and an unmaterialized survivors∪delta union would re-read the previous
+    // checkpoints and redo the anti-join once per subtree (measured ~1.6× on
+    // stage3 before this); (b) the delta run's checkpoint dir becomes a
+    // complete base, so tomorrow's delta chains off today's (DeltaSpec).
     // Candidates carry no file columns — their survivors follow the surviving
-    // mentions by mention_id (a file-local hash).
+    // mentions by mention_id (a hash that includes the file key, so a changed
+    // file's fresh mentions can never collide with a survivor's).
     val mentionsSurv = Delta.survivors(prevIo.read(spark, "stage1_mentions"), staleKeys)
-    val perLine  = Delta.survivors(prevIo.read(spark, "stage1_lines"), staleKeys)
-      .unionByName(perLineDelta)
-    val mentions = mentionsSurv.unionByName(mentionsDelta)
-    val cands = prevIo.read(spark, "stage2_candidates")
-      .join(mentionsSurv.select(col("mention_id")), Seq("mention_id"), "left_semi")
-      .unionByName(candsDelta)
+    val perLine = stage(spark, "stage1_lines",
+      Delta.survivors(prevIo.read(spark, "stage1_lines"), staleKeys)
+        .unionByName(perLineDelta))
+    val mentions = stage(spark, "stage1_mentions",
+      mentionsSurv.unionByName(mentionsDelta))
+    val cands = stage(spark, "stage2_candidates",
+      prevIo.read(spark, "stage2_candidates")
+        .join(mentionsSurv.select(col("mention_id")), Seq("mention_id"), "left_semi")
+        .unionByName(candsDelta))
     val contexts = Extract.contexts(perLine)
 
     linkAndMaterialize(spark, mentions, cands, contexts, kbCtx,

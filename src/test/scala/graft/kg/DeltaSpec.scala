@@ -87,6 +87,25 @@ class DeltaSpec extends AnyFunSuite {
     val expected = (0L until (N + N / 20L)).count(id =>
       !(id < N && id % 101 == 0) && (id % 17 == 3 || id >= N))
     assert(deltaFiles == expected, s"changed-file count $deltaFiles != expected $expected")
+
+    // chaining: a delta run's checkpoint dir is itself a valid base — run a
+    // second delta FROM the delta run, mutating back to v1 (reverts, deletes
+    // of the cloned files, resurrections of the deleted ones); output must
+    // equal the original v1 full run exactly
+    val ioChain = new ParquetTableIO(s"$base/chain")
+    val chainTriples = collectTriples(new Pipeline(ioChain, "v1-again").runDelta(spark,
+      CorpusGen.srcFiles(spark, N).toDF(), kb, kbCtx, prevIo = ioDelta,
+      snapshot = Some(CorpusGen.fileShas(spark, N).toDF())))
+    assert(chainTriples == v1Triples, "chained delta (v2→v1) must equal the v1 full run")
+
+    // zero-churn day: the same corpus against its own delta run — nothing to
+    // re-extract (all delta checkpoints empty but readable), output unchanged
+    val ioNoop = new ParquetTableIO(s"$base/noop")
+    val noopTriples = collectTriples(new Pipeline(ioNoop, "v2-noop").runDelta(spark,
+      CorpusGen.srcFilesV2(spark, N).toDF(), kb, kbCtx, prevIo = ioDelta,
+      snapshot = Some(CorpusGen.fileShasV2(spark, N).toDF())))
+    assert(ioNoop.read(spark, "stage0_files_delta").count() == 0, "zero-churn delta re-extracted files")
+    assert(noopTriples == fullTriples, "zero-churn delta must reproduce the v2 output")
   }
 
   test("delta sha256 invariant violation is detected") {
