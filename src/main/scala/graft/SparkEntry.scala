@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, DocOps, Multimodal, RelOps, Similarity, TextAnalysis}
+import graft.ops.{Dedup, DocOps, Multimodal, RelOps, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -107,6 +107,12 @@ object SparkEntry {
     "text_quality"       -> TextAnalysis.quality _,
     "text_tokens"        -> TextAnalysis.tokenCounts _,
     "text_fingerprint"   -> TextAnalysis.fingerprint _,
+    // deterministic sampling (hash-keyed, reproducible on any cluster size)
+    "sample_hash"        -> Sampling.hashSample _,
+    "sample_stratified"  -> Sampling.stratifiedSample _,
+    "sample_uniform_k"   -> Sampling.uniformKSample _,
+    "sample_mix"         -> Sampling.weightedMix _,
+    "sample_split"       -> Sampling.trainValTestSplit _,
     // multimodal plumbing (decode step stubbed — see Multimodal scaladoc)
     "mm_binary_meta"     -> Multimodal.binaryMeta _,
     "mm_decode_stub"     -> ((s: SparkSession, dir: String) =>
@@ -601,6 +607,27 @@ object SparkEntry {
       s"""WITH $Shingles
          |SELECT doc_id, min(md5(shingle)) AS fingerprint, CAST(count(DISTINCT shingle) AS BIGINT) AS n_shingles
          |FROM shv GROUP BY doc_id""".stripMargin,
+    // sampling: md5(seed_key) hex-prefix coin, identical bytes in both engines
+    "sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5('s1_' || CAST(doc_id AS VARCHAR)), 1, 2) < '40'""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5('s1_' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |      < CASE WHEN lang = 'en' THEN '20' ELSE '80' END""".stripMargin,
+    "sample_uniform_k" ->
+      """SELECT doc_id FROM documents
+        |ORDER BY md5('s2_' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 50""".stripMargin,
+    "sample_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5('s3_' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |      < CASE WHEN source = 'src0' THEN 'g' WHEN source = 'src1' THEN '80'
+        |             ELSE '20' END""".stripMargin,
+    "sample_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 'ec' THEN 'train' WHEN b < 'f6' THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, substr(md5('s4_' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
+        |      FROM documents)""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
         |  lower(substr(hex(encode(text)), 1, 32)) AS head_hex,
