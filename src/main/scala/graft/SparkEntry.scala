@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, DocOps, Multimodal, RelOps, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, DocOps, Multimodal, Packing, RelOps, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -113,6 +113,7 @@ object SparkEntry {
     "sample_uniform_k"   -> Sampling.uniformKSample _,
     "sample_mix"         -> Sampling.weightedMix _,
     "sample_split"       -> Sampling.trainValTestSplit _,
+    "pack_sequences"     -> Packing.packDocuments _,
     // multimodal plumbing (decode step stubbed — see Multimodal scaladoc)
     "mm_binary_meta"     -> Multimodal.binaryMeta _,
     "mm_decode_stub"     -> ((s: SparkSession, dir: String) =>
@@ -628,6 +629,19 @@ object SparkEntry {
         |  CASE WHEN b < 'ec' THEN 'train' WHEN b < 'f6' THEN 'val' ELSE 'test' END AS split
         |FROM (SELECT doc_id, substr(md5('s4_' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
         |      FROM documents)""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS toks,
+        |         doc_id % 8 AS shard, md5('e1_' || CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, shard, toks,
+        |         CAST(sum(toks) OVER (PARTITION BY shard ORDER BY ord, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS BIGINT) AS pos
+        |  FROM t)
+        |SELECT doc_id, shard, pos,
+        |       shard * 1000000 + CAST(floor(pos / 1024) AS BIGINT) AS pack_id
+        |FROM r""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
         |  lower(substr(hex(encode(text)), 1, 32)) AS head_hex,
