@@ -102,6 +102,7 @@ object SparkEntry {
     "sim_lsh_topk"       -> ((s: SparkSession, dir: String) => Similarity.lshTopK(s, dir)),
     "sim_lsh_multiprobe_topk" -> ((s: SparkSession, dir: String) => Similarity.lshMultiProbeTopK(s, dir)),
     "sim_ivf_topk"       -> ((s: SparkSession, dir: String) => Similarity.ivfTopK(s, dir)),
+    "sim_pq_topk"        -> ((s: SparkSession, dir: String) => Similarity.pqTopK(s, dir)),
     // text analysis
     "text_langid"        -> TextAnalysis.langId _,
     "text_quality"       -> TextAnalysis.quality _,
@@ -572,6 +573,36 @@ object SparkEntry {
          |       FROM dots JOIN norms nq ON dots.q_id = nq.vec_id JOIN norms nv ON dots.vec_id = nv.vec_id),
          |r AS (SELECT q_id, vec_id, cos6, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, vec_id) AS INT) AS rnk FROM sc)
          |SELECT q_id, vec_id, rnk, round(cos6, 4) AS cos FROM r WHERE rnk <= 5""".stripMargin,
+    // PQ ADC top-k: per-block codebook (1 Lloyd round over subvectors),
+    // 4 codes per vector, query LUT summed over codes — mirrors pqTopKFor
+    "sim_pq_topk" ->
+      s"""WITH $EmbEx,
+         |sx AS (SELECT vec_id, CAST(pos // 16 AS INT) AS block, pos, x FROM ex),
+         |s0 AS (SELECT block, CAST(vec_id AS INT) AS cell, pos, x AS cx FROM sx WHERE vec_id < 8),
+         |d0 AS (SELECT e.vec_id, e.block, c.cell, round(sum((e.x - c.cx) * (e.x - c.cx)), 9) AS d2
+         |       FROM sx e JOIN s0 c ON e.block = c.block AND e.pos = c.pos
+         |       GROUP BY e.vec_id, e.block, c.cell),
+         |a0 AS (SELECT vec_id, block, cell FROM (
+         |         SELECT vec_id, block, cell, row_number() OVER (PARTITION BY vec_id, block ORDER BY d2, cell) AS rn FROM d0)
+         |       WHERE rn = 1),
+         |cb AS (SELECT e.block, a.cell, e.pos, round(avg(e.x), 6) AS cx
+         |       FROM a0 a JOIN sx e ON a.vec_id = e.vec_id AND a.block = e.block
+         |       GROUP BY e.block, a.cell, e.pos),
+         |d1 AS (SELECT e.vec_id, e.block, c.cell, round(sum((e.x - c.cx) * (e.x - c.cx)), 9) AS d2
+         |       FROM sx e JOIN cb c ON e.block = c.block AND e.pos = c.pos
+         |       GROUP BY e.vec_id, e.block, c.cell),
+         |codes AS (SELECT vec_id, block, cell AS code FROM (
+         |            SELECT vec_id, block, cell, row_number() OVER (PARTITION BY vec_id, block ORDER BY d2, cell) AS rn FROM d1)
+         |          WHERE rn = 1),
+         |lut AS (SELECT e.vec_id AS q_id, e.block, c.cell AS code, round(sum((e.x - c.cx) * (e.x - c.cx)), 9) AS pd
+         |        FROM sx e JOIN cb c ON e.block = c.block AND e.pos = c.pos
+         |        WHERE e.vec_id < 5
+         |        GROUP BY e.vec_id, e.block, c.cell),
+         |adc AS (SELECT l.q_id, v.vec_id, round(sum(l.pd), 6) AS adist
+         |        FROM codes v JOIN lut l ON l.block = v.block AND l.code = v.code AND v.vec_id <> l.q_id
+         |        GROUP BY l.q_id, v.vec_id),
+         |r AS (SELECT q_id, vec_id, adist, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS INT) AS rnk FROM adc)
+         |SELECT q_id, vec_id, rnk, adist FROM r WHERE rnk <= 5""".stripMargin,
     "text_langid" ->
       s"""WITH $T,
          |sc AS (SELECT doc_id,

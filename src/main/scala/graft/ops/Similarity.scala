@@ -206,6 +206,95 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rnk"), round(col("cos6"), 4).as("cos"))
   }
 
+  // --- Product quantization (PQ) ---------------------------------------
+  //
+  // The storage/search scale path for embeddings: a 64-dim float vector
+  // (256 B) compresses to m=4 one-byte codes by quantizing each 16-dim
+  // subvector against a per-block codebook — 64× smaller, so a 100 TB
+  // embedding corpus's codes fit in a fraction of cluster RAM. Queries stay
+  // full-precision; the asymmetric distance (ADC) is a per-query lookup
+  // table (q × block × centroid, tiny, broadcast) summed over each vector's
+  // codes — the scan never touches original vectors. Classic design
+  // (Jégou, Douze, Schmid: "Product Quantization for Nearest Neighbor
+  // Search", TPAMI 2011 — public knowledge).
+  //
+  // Codebooks train with the same deterministic seeded k-means discipline as
+  // [[kmeansCentroidsFor]] (fixed Lloyd rounds, rounded means/distances,
+  // cell-asc tie-breaks) so codes and ADC ranks are bit-reproducible across
+  // engines and partitionings.
+
+  /** Subvector explode: (vec_id, block, dim, x), block = dim / dsub. */
+  private def subEx(emb: DataFrame, dsub: Int): DataFrame =
+    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), (col("dim") / dsub).cast("int").as("block"),
+              col("dim").cast("int").as("dim"), col("xf").cast("double").as("x"))
+
+  /** Squared L2 between every (vector, block) subvector and every centroid of
+    * that block; rounded so the argmin is engine/partitioning-stable. */
+  private def blockDists(ex: DataFrame, cents: DataFrame): DataFrame =
+    ex.join(broadcast(cents), Seq("block", "dim"))
+      .groupBy(col("vec_id"), col("block"), col("cell"))
+      .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 9).as("d2"))
+
+  /** Nearest centroid per (vector, block), smaller cell on ties. */
+  private def argminCell(d2: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("block"))
+      .orderBy(col("d2").asc, col("cell").asc)
+    d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("block"), col("cell"))
+  }
+
+  /** Per-block codebooks: seeds are the first `ksub` vectors' subvectors;
+    * each Lloyd round reassigns (min rounded L2, cell-asc ties) and
+    * recomputes centroids as rounded member means. Blocks train
+    * independently but inside ONE DataFrame keyed by block — one job, not m.
+    * At 10^12 rows training runs on a sample; encoding scans everything. */
+  def pqCodebookFor(emb: DataFrame, dsub: Int = 16, ksub: Int = 8,
+                    iters: Int = 1): DataFrame = {
+    val ex = subEx(emb, dsub)
+    var cents = ex.filter(col("vec_id") < ksub)
+      .select(col("block"), col("vec_id").cast("int").as("cell"),
+              col("dim"), col("x").as("cx"))
+    for (_ <- 0 until iters) {
+      val assign = argminCell(blockDists(ex, cents))
+      cents = ex.join(assign, Seq("vec_id", "block"))
+        .groupBy(col("block"), col("cell"), col("dim"))
+        .agg(round(avg(col("x")), 6).as("cx"))
+    }
+    cents
+  }
+
+  /** Encode: m codes per vector (the compressed representation). */
+  def pqCodesFor(emb: DataFrame, cents: DataFrame, dsub: Int = 16): DataFrame =
+    argminCell(blockDists(subEx(emb, dsub), cents))
+      .withColumnRenamed("cell", "code")
+
+  def pqTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    pqTopKFor(Tables.embeddings(spark, dir), k)
+
+  /** ADC top-k: per-query LUT of (block, centroid) partial distances is
+    * broadcast and summed over each vector's codes — the big side touches
+    * only the 4-codes table, never original vectors. Smaller distance =
+    * closer; ties break toward smaller vec_id. */
+  def pqTopKFor(emb: DataFrame, k: Int = 5, dsub: Int = 16, ksub: Int = 8,
+                iters: Int = 1): DataFrame = {
+    val cents = pqCodebookFor(emb, dsub, ksub, iters)
+    val codes = pqCodesFor(emb, cents, dsub)
+    val lut = subEx(emb.filter(col("vec_id") < 5), dsub)
+      .select(col("vec_id").as("q_id"), col("block"), col("dim"), col("x").as("qx"))
+      .join(broadcast(cents), Seq("block", "dim"))
+      .groupBy(col("q_id"), col("block"), col("cell"))
+      .agg(round(sum((col("qx") - col("cx")) * (col("qx") - col("cx"))), 9).as("pd"))
+      .withColumnRenamed("cell", "code")
+    val adc = codes.join(broadcast(lut), Seq("block", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(sum(col("pd")), 6).as("adist"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id").asc)
+    adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rnk"), col("adist"))
+  }
+
   def lshTopKFor(emb: DataFrame, k: Int = 5, multiProbe: Boolean = false): DataFrame = {
     val v = vecsFor(emb).join(lshBucketsFor(emb), "vec_id")
     val q0 = v.filter(col("vec_id") < 5)

@@ -157,6 +157,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(trained >= hitsOf(0), "trained centroids lost recall vs seed centroids")
   }
 
+  test("PQ: 4 codes per vector in [0, ksub); ADC finds planted near-dups") {
+    val cents = Similarity.pqCodebookFor(embeddings)
+    val codes = Similarity.pqCodesFor(embeddings, cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(codes.length == embeddings.count() * 4, "every vector must get one code per block")
+    assert(codes.forall { case (_, b, c) => b >= 0 && b < 4 && c >= 0 && c < 8 })
+    // a planted near-dup (cos ≈ 0.995) quantizes to codes near the query's
+    // own, so its ADC distance ranks it at/near the top
+    val top = Similarity.pqTopKFor(embeddings, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = (0 until 5).count(i => top.contains((i.toLong, (1000 + i).toLong)))
+    assert(hits >= 4, s"PQ ADC should recover ≥4/5 planted neighbours in top-3, got $hits")
+  }
+
   test("embedding LSH bands: recall ≥ 0.9 vs brute-force high-cosine pairs") {
     // ground truth: all pairs with cosine ≥ 0.9 by brute force
     val v = embeddings.select(col("vec_id"),
