@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, DocOps, Multimodal, Packing, RelOps, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, DocOps, Multimodal, Packing, RelOps, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -115,6 +115,10 @@ object SparkEntry {
     "sample_mix"         -> Sampling.weightedMix _,
     "sample_split"       -> Sampling.trainValTestSplit _,
     "pack_sequences"     -> Packing.packDocuments _,
+    // corpus curation: decontamination, redaction, license detection
+    "cur_decontaminate"  -> Curation.decontaminateDocs _,
+    "cur_redact"         -> Curation.redactDocs _,
+    "cur_license"        -> Curation.licenseDocs _,
     // multimodal plumbing (decode step stubbed — see Multimodal scaladoc)
     "mm_binary_meta"     -> Multimodal.binaryMeta _,
     "mm_decode_stub"     -> ((s: SparkSession, dir: String) =>
@@ -573,6 +577,37 @@ object SparkEntry {
          |       FROM dots JOIN norms nq ON dots.q_id = nq.vec_id JOIN norms nv ON dots.vec_id = nv.vec_id),
          |r AS (SELECT q_id, vec_id, cos6, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, vec_id) AS INT) AS rnk FROM sc)
          |SELECT q_id, vec_id, rnk, round(cos6, 4) AS cos FROM r WHERE rnk <= 5""".stripMargin,
+    // curation: n-gram decontamination vs an in-query eval set; pattern
+    // redaction counts + redacted sha; SPDX license classification
+    "cur_decontaminate" ->
+      s"""WITH $Shingles,
+         |ev AS (SELECT DISTINCT shingle FROM shv WHERE doc_id % 97 = 0),
+         |hits AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |         FROM shv s JOIN ev ON s.shingle = ev.shingle
+         |         WHERE s.doc_id % 97 <> 0 GROUP BY s.doc_id)
+         |SELECT doc_id, n_hits FROM hits""".stripMargin,
+    "cur_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9a-fA-F]{20,}\b')) AS INT) AS n_secrets,
+        |  sha256(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9a-fA-F]{20,}\b', '<SECRET>', 'g')) AS redacted_sha
+        |FROM documents""".stripMargin,
+    "cur_license" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, 'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1) AS license,
+        |  CASE
+        |    WHEN regexp_extract(text, 'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1)
+        |         IN ('MIT','Apache-2.0','BSD-2-Clause','BSD-3-Clause','ISC') THEN 'permissive'
+        |    WHEN regexp_extract(text, 'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1)
+        |         IN ('GPL-2.0-only','GPL-3.0-only','AGPL-3.0-only','LGPL-2.1-only') THEN 'copyleft'
+        |    WHEN regexp_extract(text, 'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1) = '' THEN 'unknown'
+        |    ELSE 'other' END AS license_class
+        |FROM documents""".stripMargin,
     // PQ ADC top-k: per-block codebook (1 Lloyd round over subvectors),
     // 4 codes per vector, query LUT summed over codes — mirrors pqTopKFor
     "sim_pq_topk" ->
