@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.{ParquetTableIO, TableIO}
+
+/** The end-to-end training-data pipeline: the composition a user actually
+  * runs over a raw document corpus before tokenization —
+  *
+  *   ingest → language/quality filter → exact dedup → near-dup cluster
+  *   collapse → benchmark decontamination → PII/secret redaction →
+  *   train/val/test split → sequence packing
+  *
+  * Each stage is one of this library's tested operators; the pipeline only
+  * composes them, checkpointing every stage through the same atomic
+  * [[TableIO]] + per-partition-lineage machinery as the KG pipeline
+  * ([[graft.io.StagedRun]]), so a killed curation run resumes from its last
+  * committed stage and the lineage table doubles as the per-stage
+  * row-count funnel report (how many documents each filter removed —
+  * the number every data-curation run gets asked for).
+  *
+  * Scale shape: every stage is a tested-scale-safe operator — filters are
+  * narrow column expressions; exact dedup is a (sha, min-id) semi-join;
+  * near-dup collapse is guarded banded LSH + O(log diameter) connected
+  * components; decontamination broadcasts the benchmark-sized eval shingle
+  * set (the corpus never shuffles for it); packing windows within hash
+  * shards. The corpus-sized tables move only through hash-partitioned
+  * exchanges with AQE sizing, exactly like the KG pipeline's.
+  */
+final class CurationPipeline(val io: TableIO, val runId: String,
+                             val resume: Boolean = false, seed: String = "cp")
+    extends graft.io.StagedRun {
+
+  /** `docs`: (doc_id, text, lang, source). Returns the packed keep set
+    * (read back from the sink), one row per surviving document with its
+    * split and pack assignment. */
+  def run(spark: SparkSession, docs: DataFrame,
+          langs: Seq[String] = Seq("en", "de", "es", "fr", "zh"),
+          minQualityPpm: Long = 400000L, minAlphaPpm: Long = 500000L,
+          minTokens: Long = 5L,
+          evalDocs: Option[DataFrame] = None, decontamMinHits: Long = 1L,
+          trainUpper256: Int = 236, valUpper256: Int = 246,
+          packBudget: Int = 1024, packShards: Int = 32): DataFrame = {
+
+    // c0: ingest + content hash (the identity every later stage keys on)
+    val s0 = stage(spark, "c0_ingest",
+      docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .withColumn("sha256", sha2(col("text"), 256)))
+
+    // c1: language allowlist + heuristic quality gate (integer-ppm metrics;
+    // alpha_ppm is the symbol-soup catch — quality_ppm alone scores
+    // stopword-free garbage at 500k)
+    val q = TextAnalysis.qualityFor(s0)
+      .select(col("doc_id"), col("n_tokens"), col("quality_ppm"), col("alpha_ppm"))
+    val s1 = stage(spark, "c1_quality",
+      s0.join(q, Seq("doc_id"))
+        .filter(col("lang").isin(langs: _*) &&
+                col("quality_ppm") >= minQualityPpm &&
+                col("alpha_ppm") >= minAlphaPpm && col("n_tokens") >= minTokens)
+        .drop("quality_ppm", "alpha_ppm"))
+
+    // c2: exact dedup — deterministic min-id representative per content hash
+    val reps = s1.groupBy(col("sha256")).agg(min(col("doc_id")).as("doc_id"))
+    val s2 = stage(spark, "c2_exact_dedup",
+      s1.join(reps, Seq("sha256", "doc_id"), "left_semi"))
+
+    // c3: near-dup cluster collapse — guarded banded MinHash-LSH pairs →
+    // connected components → keep only each cluster's representative
+    // (pairwise dropping cannot dedup an N-way duplicate group)
+    val keepIds = Dedup.clustersFor(s2, Dedup.minhashPairsGuarded(s2))
+      .filter(col("keep") === 1).select(col("doc_id"))
+    val s3 = stage(spark, "c3_neardup_collapse",
+      s2.join(keepIds, Seq("doc_id"), "left_semi"))
+
+    // c4: benchmark decontamination (skipped when no eval set is supplied)
+    val s4 = evalDocs match {
+      case Some(ev) => stage(spark, "c4_decontaminated",
+        s3.join(Curation.decontaminate(s3, ev)
+                  .filter(col("n_hits") >= decontamMinHits).select(col("doc_id")),
+                Seq("doc_id"), "left_anti"))
+      case None => s3
+    }
+
+    // c5: PII/secret redaction — text is rewritten, so sha256 is restated
+    // for downstream consumers (the pre-redaction sha stays in c0–c4)
+    val s5 = stage(spark, "c5_redacted",
+      Curation.redact(s4, col("text"))
+        .select(col("doc_id"), col("redacted").as("text"), col("lang"),
+                col("source"),
+                (col("n_emails") + col("n_ips") + col("n_secrets")).as("n_redactions"))
+        .withColumn("sha256", sha2(col("text"), 256)))
+
+    // c6: deterministic split + sequence packing, partitioned by split (the
+    // layout a tokenizer consumes: read one split, stream packs in order)
+    val withSplit = Sampling.split(s5, col("doc_id"), trainUpper256, valUpper256, seed)
+    val toks = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long")
+    stage(spark, "c6_packed",
+      Packing.pack(withSplit.withColumn("toks", toks), col("doc_id"), col("toks"),
+                   packBudget, packShards, seed)
+        .select(col("doc_id"), col("lang"), col("source"), col("split"),
+                col("toks"), col("shard"), col("pos"), col("pack_id")),
+      partitionBy = Seq("split"))
+  }
+}
+
+/** spark-submit entry point:
+  * `graft.ops.CurationPipeline <sfDir> <ckptDir> [--resume]` — runs the full
+  * curation funnel over the `documents` table, printing the per-stage funnel
+  * from the lineage table. */
+object CurationPipeline {
+  def main(args: Array[String]): Unit = {
+    val pos = args.filterNot(_.startsWith("--"))
+    val sfDir = if (pos.length > 0) pos(0) else "/root/testdata/sf0.01"
+    val ckpt = if (pos.length > 1) pos(1) else "target/curation_ckpt"
+    val resume = args.contains("--resume")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val docs = graft.Tables.documents(spark, sfDir)
+      val pipe = new CurationPipeline(new ParquetTableIO(ckpt), s"cur-$sfDir", resume)
+      val t0 = System.nanoTime()
+      // eval set: every 97th doc stands in for a benchmark
+      val out = pipe.run(spark, docs,
+        evalDocs = Some(docs.filter(col("doc_id") % 97 === 0)))
+      val n = out.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val funnel = pipe.io.read(spark, pipe.LineageTable)
+        .filter(col("run_id") === pipe.runId)
+        .groupBy(col("stage")).agg(sum(col("rows_out")).as("rows"))
+        .orderBy(col("stage")).collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+      println(f"[curation] docs_out=$n wall=$sec%.2fs funnel: $funnel")
+    } finally spark.stop()
+  }
+}

@@ -40,8 +40,10 @@ object TextAnalysis {
     * Ratios are emitted as exact integer parts-per-million (truncated integer
     * division) — a float ratio rounded to N decimals can land on a rounding
     * boundary and differ between engines; integer arithmetic cannot. */
-  def quality(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    qualityFor(Tables.documents(spark, dir))
+
+  def qualityFor(docs: DataFrame): DataFrame = {
     val ws = docs.select(col("doc_id"),
       explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("word"))
     val tok = ws.groupBy(col("doc_id")).agg(

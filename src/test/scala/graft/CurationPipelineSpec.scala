@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.io.ParquetTableIO
+import graft.ops.CurationPipeline
+import java.nio.file.Files
+
+/** End-to-end curation funnel on a corpus with one planted defect per stage:
+  * every planted document is removed by exactly the stage built to catch it,
+  * every clean document survives, the output is packed, the run resumes.
+  */
+class CurationPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def sentence(seed: Int, n: Int): String = {
+    val r = new scala.util.Random(seed)
+    val pool = Array("alpha", "beta", "gamma", "delta", "kernel", "socket",
+                     "stream", "batch", "vector", "matrix", "cursor", "ledger")
+    (0 until n).map(_ => pool(r.nextInt(pool.length))).mkString(" ")
+  }
+
+  // 20 clean docs (ids 0-19) plus planted defects:
+  //   50 wrong language; 51 garbage (symbols → quality); 52 too short;
+  //   60 exact dup of 0; 61 near-dup of 1 (one word changed);
+  //   70 contaminated (contains an eval shingle run); 10 carries a secret
+  //   (must SURVIVE, redacted)
+  private lazy val corpus = {
+    val clean = (0 until 20).map(i => (i.toLong, sentence(i, 40), "en", "srcA"))
+    val secretText = sentence(10, 40) // overwrite doc 10's text with a secret inside
+    val planted = Seq(
+      (50L, sentence(50, 40), "xx", "srcA"),
+      (51L, "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( ))))", "en", "srcA"),
+      (52L, "too short", "en", "srcA"),
+      (60L, sentence(0, 40), "en", "srcB"),
+      (61L, { val w = sentence(1, 40).split(" "); w(20) = "CHANGED"; w.mkString(" ") }, "en", "srcB"),
+      (70L, "the secret benchmark question about ledger vector matrix flows here " + sentence(70, 30), "en", "srcA"))
+    val base = clean.map { case (id, t, l, s) =>
+      if (id == 10L) (id, t + " token deadbeefcafe1234567890abcdef here", l, s) else (id, t, l, s)
+    }
+    (base ++ planted).toDF("doc_id", "text", "lang", "source")
+  }
+
+  private lazy val evalSet =
+    Seq((999L, "the secret benchmark question about ledger vector matrix flows here"))
+      .toDF("doc_id", "text")
+
+  test("funnel: each planted defect removed by its stage; clean docs survive packed") {
+    val dir = Files.createTempDirectory("graft_curation").toString
+    val pipe = new CurationPipeline(new ParquetTableIO(dir), "t1")
+    val out = pipe.run(spark, corpus, evalDocs = Some(evalSet))
+    val kept = out.select("doc_id").as[Long].collect().toSet
+
+    assert(!kept.contains(50L), "wrong-language doc survived")
+    assert(!kept.contains(51L), "garbage doc survived the quality gate")
+    assert(!kept.contains(52L), "too-short doc survived")
+    assert(!kept.contains(60L), "exact duplicate survived")
+    assert(!kept.contains(61L), "near-duplicate survived cluster collapse")
+    assert(!kept.contains(70L), "contaminated doc survived decontamination")
+    assert((0L until 20L).forall(kept.contains), s"a clean doc was dropped: $kept")
+    assert(kept.size == 20)
+
+    // the secret was redacted, not dropped; redaction restated the sha
+    val d10 = pipe.io.read(spark, "c5_redacted").filter(col("doc_id") === 10L)
+      .select("text", "n_redactions").collect()(0)
+    assert(d10.getString(0).contains("<SECRET>") && !d10.getString(0).contains("deadbeef"))
+    assert(d10.getInt(1) == 1)
+
+    // packed output: every survivor has a split and a pack; pos is a valid
+    // offset (non-negative, consistent with pack_id)
+    val rows = out.select("split", "pos", "pack_id", "shard").collect()
+    assert(rows.forall(r => Set("train", "val", "test")(r.getString(0))))
+    assert(rows.forall(r => r.getLong(1) >= 0 &&
+      r.getLong(2) == r.getLong(3) * 1000000L + r.getLong(1) / 1024))
+
+    // the lineage table IS the funnel report: monotone row counts per stage
+    val funnel = pipe.io.read(spark, pipe.LineageTable)
+      .filter(col("run_id") === "t1")
+      .groupBy("stage").agg(sum("rows_out").as("rows"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel("c0_ingest") == 26 && funnel("c1_quality") == 23 &&
+      funnel("c2_exact_dedup") == 22 && funnel("c3_neardup_collapse") == 21 &&
+      funnel("c4_decontaminated") == 20 && funnel("c5_redacted") == 20 &&
+      funnel("c6_packed") == 20, s"unexpected funnel: $funnel")
+  }
+
+  test("resume: killing after c3 and resuming reproduces the identical output") {
+    val dir = Files.createTempDirectory("graft_curation_resume").toString
+    val io = new ParquetTableIO(dir)
+    def run(resume: Boolean) =
+      new CurationPipeline(io, "t2", resume).run(spark, corpus, evalDocs = Some(evalSet))
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+    val first = run(resume = false)
+    io.drop(spark, "c4_decontaminated"); io.drop(spark, "c5_redacted"); io.drop(spark, "c6_packed")
+    assert(run(resume = true) == first && first.nonEmpty)
+  }
+}
