@@ -23,18 +23,39 @@ object Fixtures {
   @volatile private var done = false
 
   /** Idempotent: writes each fixture only if its `_SUCCESS` marker is absent
-    * (a torn dir from a crashed writer is overwritten). */
+    * (a torn dir from a crashed writer is overwritten). Cross-process safe:
+    * each fixture is written to a process-private `._tmp.<pid>` dir and
+    * atomically renamed into place — two first-run JVMs race benignly (the
+    * loser's rename fails against the winner's identical, deterministic
+    * output and its tmp is discarded); a reader never observes partial
+    * files. */
   def ensure(spark: SparkSession): Unit = synchronized {
     if (!done) {
       lazy val gold = kg.CorpusGen.gold(spark, 500).toDF()
-      if (!complete(spark, GoldParquet))
-        gold.coalesce(2).write.mode("overwrite").parquet(GoldParquet)
-      if (!complete(spark, GoldCsv))
-        gold.coalesce(1).write.mode("overwrite").option("header", "true").csv(GoldCsv)
-      if (!complete(spark, KbCtxParquet))
-        kg.CorpusGen.kbContexts(spark).toDF()
-          .coalesce(2).write.mode("overwrite").parquet(KbCtxParquet)
+      writeIfMissing(spark, GoldParquet,
+        tmp => gold.coalesce(2).write.mode("overwrite").parquet(tmp))
+      writeIfMissing(spark, GoldCsv,
+        tmp => gold.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp))
+      writeIfMissing(spark, KbCtxParquet,
+        tmp => kg.CorpusGen.kbContexts(spark).toDF()
+          .coalesce(2).write.mode("overwrite").parquet(tmp))
       done = true
+    }
+  }
+
+  private def writeIfMissing(spark: SparkSession, dir: String,
+                             write: String => Unit): Unit = {
+    if (!complete(spark, dir)) {
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new Path(dir + "._tmp." + ProcessHandle.current().pid())
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      write(tmp.toString)
+      val dst = new Path(dir)
+      if (complete(spark, dir)) fs.delete(tmp, true) // lost the race; winner's output is identical
+      else {
+        if (fs.exists(dst)) fs.delete(dst, true) // torn dir from a crashed writer
+        if (!fs.rename(tmp, dst)) fs.delete(tmp, true)
+      }
     }
   }
 

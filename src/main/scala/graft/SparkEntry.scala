@@ -706,7 +706,7 @@ object SparkEntry {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS BIGINT) AS pos
         |  FROM t)
         |SELECT doc_id, shard, pos,
-        |       shard * 1000000 + CAST(floor(pos / 1024) AS BIGINT) AS pack_id
+        |       shard * 1000000000000 + CAST(floor(pos / 1024) AS BIGINT) AS pack_id
         |FROM r""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,

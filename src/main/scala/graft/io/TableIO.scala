@@ -29,7 +29,7 @@ trait TableIO {
   * filesystem rename — a crashed writer leaves only a torn `._tmp` that the
   * next run overwrites; readers never observe partial data (the Iceberg
   * equivalent is a snapshot commit). */
-final class ParquetTableIO(root: String) extends TableIO {
+final class ParquetTableIO(val root: String) extends TableIO {
   private def p(table: String) = s"$root/$table"
 
   private def fs(spark: SparkSession) =

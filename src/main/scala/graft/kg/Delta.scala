@@ -56,6 +56,10 @@ object Delta {
   // `documents` testdata, with a deterministic in-query "v2" corpus (every
   // 101st doc deleted, every 7th modified, every 50th cloned as a new id) —
   // the oracle builds the identical v2 in SQL and runs the same anti-joins.
+  // The +100000 clone-id offset assumes doc_id < 100000, which the testdata
+  // contract guarantees (documents is 500 rows at every sf) — these two
+  // queries are parity fixtures for the primitives above, not the production
+  // entry point (that is Pipeline.runDelta, which never invents ids).
 
   private def docsV1(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))

@@ -38,8 +38,11 @@ object Eval {
     if (path.endsWith(".csv")) return true
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.getFileStatus(p).isDirectory &&
-      fs.listStatus(p).exists(_.getPath.getName.endsWith(".csv"))
+    if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory) return false
+    val names = fs.listStatus(p).map(_.getPath.getName)
+    // parquet wins when both are present: a stray summary.csv inside a
+    // parquet table dir must not flip the whole gold table to CSV parsing
+    !names.exists(_.endsWith(".parquet")) && names.exists(_.endsWith(".csv"))
   }
 
   /** Precision/recall against a gold path, parquet or CSV (S4 → J6 in one call). */

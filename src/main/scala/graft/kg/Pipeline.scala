@@ -115,6 +115,15 @@ final class Pipeline(val io: TableIO, val runId: String, val resume: Boolean = f
                broadcastDictMaxRows: Long = 1000000L,
                broadcastKbCtxMaxRows: Long = 10000000L,
                broadcastKbTermsMaxRows: Long = 5000000L): DataFrame = {
+    // Chaining means prev run's dir → NEW dir; writing into the dir being
+    // read would overwrite prev's stage0_shas before the lazily-planned
+    // reads of it execute (at best FileNotFound, at worst an empty delta).
+    (io, prevIo) match {
+      case (a: ParquetTableIO, b: ParquetTableIO) =>
+        require(a.root != b.root,
+          s"delta run must write to a different checkpoint dir than prevIo (${a.root})")
+      case _ => require(io ne prevIo, "delta run must not write into prevIo")
+    }
     val keyShaCols = (Delta.FileKey :+ "sha256").map(col)
     // Previous corpus fingerprint: the compact (key, sha) table when the
     // previous run wrote one (full and delta runs both do), else derived from

@@ -20,20 +20,32 @@ object Curation {
     * `evalDocs` is benchmark-sized (thousands), so its distinct shingle set
     * broadcasts; the train side streams through a broadcast semi-join —
     * no shuffle of the corpus at any scale. Returns (doc_id, n_hits) for
-    * flagged TRAIN docs (eval members excluded). */
-  def decontaminate(train: DataFrame, evalDocs: DataFrame): DataFrame = {
+    * flagged TRAIN docs.
+    *
+    * `evalSharesIds`: set ONLY when the eval set is a subset of the train
+    * table itself (same doc_id namespace) — then eval members are exempted
+    * from flagging by id. For an EXTERNAL benchmark (the production case)
+    * leave it false: its ids mean nothing in the corpus namespace, and a
+    * train doc that happens to carry an eval doc's number must still be
+    * screened. */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame,
+                    evalSharesIds: Boolean = false): DataFrame = {
     val evalShingles = Dedup.shinglesFor(evalDocs).select(col("shingle")).distinct()
-    val evalIds = evalDocs.select(col("doc_id"))
-    Dedup.shinglesFor(train)
-      .join(broadcast(evalIds), Seq("doc_id"), "left_anti")
+    val base = Dedup.shinglesFor(train)
+    val screened =
+      if (evalSharesIds)
+        base.join(broadcast(evalDocs.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      else base
+    screened
       .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
   }
 
-  /** Operator query: every 97th document plays the benchmark set. */
+  /** Operator query: every 97th document plays the benchmark set — a subset
+    * of the corpus itself, so eval members are id-exempted. */
   def decontaminateDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    decontaminate(docs, docs.filter(col("doc_id") % 97 === 0))
+    decontaminate(docs, docs.filter(col("doc_id") % 97 === 0), evalSharesIds = true)
   }
 
   // --- PII / secret redaction -------------------------------------------

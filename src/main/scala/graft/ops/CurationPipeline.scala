@@ -91,12 +91,14 @@ final class CurationPipeline(val io: TableIO, val runId: String,
         .withColumn("sha256", sha2(col("text"), 256)))
 
     // c6: deterministic split + sequence packing, partitioned by split (the
-    // layout a tokenizer consumes: read one split, stream packs in order)
+    // layout a tokenizer consumes: read one split, stream packs in order).
+    // Packing groups by split so a pack never straddles a split boundary —
+    // a val doc must not occupy token offsets inside a train pack.
     val withSplit = Sampling.split(s5, col("doc_id"), trainUpper256, valUpper256, seed)
     val toks = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long")
     stage(spark, "c6_packed",
       Packing.pack(withSplit.withColumn("toks", toks), col("doc_id"), col("toks"),
-                   packBudget, packShards, seed)
+                   packBudget, packShards, seed, groupCols = Seq(col("split")))
         .select(col("doc_id"), col("lang"), col("source"), col("split"),
                 col("toks"), col("shard"), col("pos"), col("pack_id")),
       partitionBy = Seq("split"))

@@ -28,21 +28,33 @@ object Packing {
   def epochOrder(key: Column, seed: String): Column =
     md5(concat(lit(seed + "_"), key.cast("string")))
 
+  /** Pack indices a shard can address before its ids would collide with the
+    * next shard's: 10^12 packs ≈ 10^15 tokens per shard at budget 1024 —
+    * beyond any corpus, and shard ids up to ~9·10^6 still fit in a long. */
+  val PacksPerShard = 1000000000000L
+
   /** Assign each row a (shard, pack) for a token `budget` per pack. `tokens`
     * must be a non-negative count column; `shards` bounds per-task state.
     * Output adds: shard, pos (running token offset of the row's start within
-    * its shard's concat stream), pack_id (globally unique). */
+    * its shard's concat stream), pack_id.
+    *
+    * `groupCols`: extra window-partition columns (e.g. the train/val/test
+    * split) — each group packs its own independent concat stream, so a pack
+    * never straddles a group boundary. pack_id is then unique WITHIN a group
+    * (the consumption unit — a tokenizer reads one group's directory); make
+    * it globally unique by folding the group into `shards` if needed. */
   def pack(df: DataFrame, key: Column, tokens: Column, budget: Int,
-           shards: Int, seed: String): DataFrame = {
+           shards: Int, seed: String, groupCols: Seq[Column] = Nil): DataFrame = {
     require(budget > 0 && shards > 0, "budget and shards must be positive")
+    require(shards.toLong * PacksPerShard > 0, s"too many shards for the id space: $shards")
     val shard = pmod(key, lit(shards.toLong)).cast("long")
-    val w = Window.partitionBy(col("shard"))
+    val w = Window.partitionBy(groupCols :+ col("shard"): _*)
       .orderBy(epochOrder(key, seed), key)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("shard", shard)
       .withColumn("pos", sum(tokens).over(w) - tokens)
       .withColumn("pack_id",
-        col("shard") * lit(1000000L) + floor(col("pos") / budget))
+        col("shard") * lit(PacksPerShard) + floor(col("pos") / budget))
   }
 
   // --- operator query (driver contract): pack `documents` by whitespace

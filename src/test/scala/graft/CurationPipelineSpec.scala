@@ -72,7 +72,11 @@ class CurationPipelineSpec extends AnyFunSuite {
     val rows = out.select("split", "pos", "pack_id", "shard").collect()
     assert(rows.forall(r => Set("train", "val", "test")(r.getString(0))))
     assert(rows.forall(r => r.getLong(1) >= 0 &&
-      r.getLong(2) == r.getLong(3) * 1000000L + r.getLong(1) / 1024))
+      r.getLong(2) == r.getLong(3) * graft.ops.Packing.PacksPerShard + r.getLong(1) / 1024))
+    // packs never straddle a split boundary: every (split, shard) stream is
+    // its own concat space, starting at offset 0
+    val minPos = out.groupBy("split", "shard").agg(min("pos").as("m")).collect()
+    assert(minPos.forall(_.getAs[Long]("m") == 0L), "a split's shard stream must start at 0")
 
     // the lineage table IS the funnel report: monotone row counts per stage
     val funnel = pipe.io.read(spark, pipe.LineageTable)

@@ -28,7 +28,7 @@ class PackingSpec extends AnyFunSuite {
       var run = 0L
       ordered.foreach { case (_, toks, shard, pos, packId) =>
         assert(pos == run, s"pos $pos != running offset $run")
-        assert(packId == shard * 1000000L + pos / 16)
+        assert(packId == shard * Packing.PacksPerShard + pos / 16)
         run += toks
       }
     }
