@@ -42,6 +42,14 @@ final class CurationPipeline(val io: TableIO, val runId: String,
           trainUpper256: Int = 236, valUpper256: Int = 246,
           packBudget: Int = 1024, packShards: Int = 32): DataFrame = {
 
+    // Write amplification is the 100 TB design constraint here: the corpus
+    // TEXT is checkpointed exactly TWICE (c0 ingest-normalized, c5 redacted
+    // — the product). Every stage between is a DECISION: a compact doc_id
+    // keep-set, checkpointed with lineage like any stage (the funnel), and
+    // applied to the c0 text by semi-join. The keep-sets are id columns —
+    // they broadcast at sandbox scale and co-partition cheaply on a cluster
+    // (ids move, text never does).
+
     // c0: ingest + content hash (the identity every later stage keys on)
     val s0 = stage(spark, "c0_ingest",
       docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
@@ -49,42 +57,49 @@ final class CurationPipeline(val io: TableIO, val runId: String,
 
     // c1: language allowlist + heuristic quality gate (integer-ppm metrics;
     // alpha_ppm is the symbol-soup catch — quality_ppm alone scores
-    // stopword-free garbage at 500k)
+    // stopword-free garbage at 500k). Decision carries the compact meta
+    // later stages key on (sha for dedup) — never the text.
     val q = TextAnalysis.qualityFor(s0)
       .select(col("doc_id"), col("n_tokens"), col("quality_ppm"), col("alpha_ppm"))
     val s1 = stage(spark, "c1_quality",
-      s0.join(q, Seq("doc_id"))
+      s0.select(col("doc_id"), col("lang"), col("sha256")).join(q, Seq("doc_id"))
         .filter(col("lang").isin(langs: _*) &&
                 col("quality_ppm") >= minQualityPpm &&
                 col("alpha_ppm") >= minAlphaPpm && col("n_tokens") >= minTokens)
-        .drop("quality_ppm", "alpha_ppm"))
+        .select(col("doc_id"), col("sha256")))
 
     // c2: exact dedup — deterministic min-id representative per content hash
     val reps = s1.groupBy(col("sha256")).agg(min(col("doc_id")).as("doc_id"))
     val s2 = stage(spark, "c2_exact_dedup",
-      s1.join(reps, Seq("sha256", "doc_id"), "left_semi"))
+      s1.join(reps, Seq("sha256", "doc_id"), "left_semi").select(col("doc_id")))
+
+    // the surviving text stream for the content-based stages below: c0 text
+    // filtered by the current keep-set (text stays on the scan side)
+    def surviving(keep: DataFrame): DataFrame =
+      s0.select(col("doc_id"), col("text")).join(keep, Seq("doc_id"), "left_semi")
 
     // c3: near-dup cluster collapse — guarded banded MinHash-LSH pairs →
     // connected components → keep only each cluster's representative
     // (pairwise dropping cannot dedup an N-way duplicate group)
-    val keepIds = Dedup.clustersFor(s2, Dedup.minhashPairsGuarded(s2))
-      .filter(col("keep") === 1).select(col("doc_id"))
+    val s2text = surviving(s2)
     val s3 = stage(spark, "c3_neardup_collapse",
-      s2.join(keepIds, Seq("doc_id"), "left_semi"))
+      Dedup.clustersFor(s2text, Dedup.minhashPairsGuarded(s2text))
+        .filter(col("keep") === 1).select(col("doc_id")))
 
     // c4: benchmark decontamination (skipped when no eval set is supplied)
     val s4 = evalDocs match {
       case Some(ev) => stage(spark, "c4_decontaminated",
-        s3.join(Curation.decontaminate(s3, ev)
+        s3.join(Curation.decontaminate(surviving(s3), ev)
                   .filter(col("n_hits") >= decontamMinHits).select(col("doc_id")),
                 Seq("doc_id"), "left_anti"))
       case None => s3
     }
 
-    // c5: PII/secret redaction — text is rewritten, so sha256 is restated
-    // for downstream consumers (the pre-redaction sha stays in c0–c4)
+    // c5: PII/secret redaction applied to the final keep-set — the SECOND
+    // and last full-text write (the product); sha256 restated post-redaction
     val s5 = stage(spark, "c5_redacted",
-      Curation.redact(s4, col("text"))
+      Curation.redact(
+          s0.join(s4, Seq("doc_id"), "left_semi"), col("text"))
         .select(col("doc_id"), col("redacted").as("text"), col("lang"),
                 col("source"),
                 (col("n_emails") + col("n_ips") + col("n_secrets")).as("n_redactions"))
