@@ -108,6 +108,7 @@ object SparkEntry {
     "text_quality"       -> TextAnalysis.quality _,
     "text_tokens"        -> TextAnalysis.tokenCounts _,
     "text_fingerprint"   -> TextAnalysis.fingerprint _,
+    "text_token_hist"    -> TextAnalysis.tokenHistogram _,
     // deterministic sampling (hash-keyed, reproducible on any cluster size)
     "sample_hash"        -> Sampling.hashSample _,
     "sample_stratified"  -> Sampling.stratifiedSample _,
@@ -674,6 +675,11 @@ object SparkEntry {
       s"""WITH $Shingles
          |SELECT doc_id, min(md5(shingle)) AS fingerprint, CAST(count(DISTINCT shingle) AS BIGINT) AS n_shingles
          |FROM shv GROUP BY doc_id""".stripMargin,
+    "text_token_hist" ->
+      """SELECT lang,
+        |  CAST(floor(log2(len(regexp_extract_all(text, '\S+')) + 1)) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY lang, bucket""".stripMargin,
     // sampling: md5(seed_key) hex-prefix coin, identical bytes in both engines
     "sample_hash" ->
       """SELECT doc_id, lang FROM documents

@@ -67,6 +67,20 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("ws_tokens"),
       size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"))
 
+  /** Corpus-shape report: per-language histogram of document token counts
+    * in log2 buckets — the length distribution every corpus card publishes
+    * and every packing/bucketing decision reads. One narrow scan + a
+    * vocabulary-bounded aggregation (floor(log2) is exact at bucket
+    * boundaries — powers of two — in any IEEE engine, so the bucketing is
+    * cross-engine deterministic). */
+  def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        floor(log2(size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))) + 1))
+          .as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Fingerprint: winnowing-style min-hash over 3-word shingles. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Dedup.shingles(spark, dir)

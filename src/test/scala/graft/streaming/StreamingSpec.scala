@@ -146,4 +146,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.nonEmpty && streamed == batch)
     } finally q.stop()
   }
+
+  test("streaming exact dedup: repeated content within the watermark is dropped, across batches") {
+    import java.sql.Timestamp
+    val srcDir = Files.createTempDirectory("stream_dedup_src").toString
+    val outDir = Files.createTempDirectory("stream_dedup_out").toString + "/docs"
+    val ckpt = Files.createTempDirectory("stream_dedup_ckpt").toString
+    def ts(s: Int) = Timestamp.valueOf(s"2026-01-01 00:00:${f"$s%02d"}")
+    def chunk(rows: (Long, String, Int)*): Unit =
+      rows.map { case (id, t, s) => (id, t, ts(s)) }.toDF("doc_id", "text", "ts")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+
+    chunk((1L, "alpha beta", 1), (2L, "gamma delta", 2), (3L, "epsilon", 3),
+          (6L, "alpha beta", 4)) // in-batch duplicate of 1
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP").parquet(srcDir)
+    val q = StreamingDedup.dedupByContent(stream)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      chunk((7L, "gamma delta", 5), (8L, "zeta", 6)) // cross-batch dup of 2 + fresh doc
+      q.processAllAvailable()
+      val kept = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 3L, 8L),
+        s"expected first occurrences only, got $kept")
+    } finally q.stop()
+  }
 }
