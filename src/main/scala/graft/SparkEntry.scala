@@ -109,6 +109,7 @@ object SparkEntry {
     "text_tokens"        -> TextAnalysis.tokenCounts _,
     "text_fingerprint"   -> TextAnalysis.fingerprint _,
     "text_token_hist"    -> TextAnalysis.tokenHistogram _,
+    "text_repetition"    -> TextAnalysis.repetition _,
     // deterministic sampling (hash-keyed, reproducible on any cluster size)
     "sample_hash"        -> Sampling.hashSample _,
     "sample_stratified"  -> Sampling.stratifiedSample _,
@@ -675,6 +676,22 @@ object SparkEntry {
       s"""WITH $Shingles
          |SELECT doc_id, min(md5(shingle)) AS fingerprint, CAST(count(DISTINCT shingle) AS BIGINT) AS n_shingles
          |FROM shv GROUP BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH g AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w,
+        |                  list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS ln
+        |           FROM documents),
+        |t AS (SELECT doc_id, ln,
+        |        list_transform(range(greatest(len(w) - 2, 0)),
+        |                       i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS g3
+        |      FROM g)
+        |SELECT doc_id,
+        |  CAST(len(ln) AS INT) AS n_lines,
+        |  CAST(len(list_distinct(ln)) AS INT) AS n_distinct_lines,
+        |  CAST(len(g3) AS INT) AS n_3grams,
+        |  CAST(len(list_distinct(g3)) AS INT) AS n_distinct_3grams,
+        |  CASE WHEN len(ln) > 0 THEN (CAST(len(ln) - len(list_distinct(ln)) AS BIGINT) * 1000000) // len(ln) ELSE CAST(0 AS BIGINT) END AS dup_line_ppm,
+        |  CASE WHEN len(g3) > 0 THEN (CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) * 1000000) // len(g3) ELSE CAST(0 AS BIGINT) END AS dup_3gram_ppm
+        |FROM t""".stripMargin,
     "text_token_hist" ->
       """SELECT lang,
         |  CAST(floor(log2(len(regexp_extract_all(text, '\S+')) + 1)) AS BIGINT) AS bucket,

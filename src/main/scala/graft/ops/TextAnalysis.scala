@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -66,6 +66,29 @@ object TextAnalysis {
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("ws_tokens"),
       size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"))
+
+  /** Repetition signals (the Gopher-rules complement to [[quality]]):
+    * boilerplate and templated spam repeat themselves — duplicate-line
+    * fraction and duplicate-3-gram fraction in integer ppm (exact
+    * cross-engine arithmetic, like quality's). Narrow per-row array
+    * expressions, zero shuffle. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val lines = filter(split(col("text"), "\n"), l => length(l) > 0)
+    val grams = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    def threeGrams(ws: Column): Column = transform(
+      slice(ws, lit(1), greatest(size(ws) - 2, lit(0))),
+      (w, i) => concat_ws(" ", w, element_at(ws, i + 2), element_at(ws, i + 3)))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(lines).as("n_lines"),
+      size(array_distinct(lines)).as("n_distinct_lines"),
+      size(threeGrams(grams)).as("n_3grams"),
+      size(array_distinct(threeGrams(grams))).as("n_distinct_3grams"))
+    .withColumn("dup_line_ppm", expr(
+      "CASE WHEN n_lines > 0 THEN (CAST(n_lines - n_distinct_lines AS BIGINT) * 1000000) div n_lines ELSE CAST(0 AS BIGINT) END"))
+    .withColumn("dup_3gram_ppm", expr(
+      "CASE WHEN n_3grams > 0 THEN (CAST(n_3grams - n_distinct_3grams AS BIGINT) * 1000000) div n_3grams ELSE CAST(0 AS BIGINT) END"))
+  }
 
   /** Corpus-shape report: per-language histogram of document token counts
     * in log2 buckets — the length distribution every corpus card publishes
