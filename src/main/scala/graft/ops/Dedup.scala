@@ -114,11 +114,16 @@ object Dedup {
     * cap ON by default, and the exclusions MEASURED per run (mirroring
     * kg.Candidates' hot-key measurement) — the count and worst sizes of
     * excluded buckets are printed so a capped run can never silently read as
-    * full coverage. The signature table is materialized once (localCheckpoint
-    * — at production scale a real checkpoint) and shared by the guard
-    * measurement and the pair join, instead of recomputing minhashes twice. */
-  def minhashPairsGuarded(docs: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sigs = bandSignaturesFor(docs).localCheckpoint()
+    * full coverage. The signature table is materialized once and shared by
+    * the guard measurement and the pair join, instead of recomputing
+    * minhashes twice. `materialize` defaults to `localCheckpoint`
+    * (executor memory+disk — it visibly spilled at 8M docs on an 8g heap);
+    * a checkpointed pipeline passes its own stage writer instead
+    * (CurationPipeline materializes through TableIO, which also makes the
+    * signature table resumable). */
+  def minhashPairsGuarded(docs: DataFrame, maxBucket: Int = DefaultMaxBucket,
+                          materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    val sigs = materialize(bandSignaturesFor(docs))
     val hot = sigs
       .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)

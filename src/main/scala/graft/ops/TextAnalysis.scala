@@ -44,15 +44,18 @@ object TextAnalysis {
     qualityFor(Tables.documents(spark, dir))
 
   def qualityFor(docs: DataFrame): DataFrame = {
-    val ws = docs.select(col("doc_id"),
-      explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("word"))
-    val tok = ws.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n_tokens"),
-      sum(length(col("word"))).as("sum_len"),
-      sum(when(lower(col("word")).isin(Stop: _*), 1L).otherwise(0L)).as("stop_hits"))
+    // All per-token statistics computed INSIDE the row with array
+    // higher-order functions — the previous explode + corpus-wide groupBy
+    // shuffled every token of every document (the funnel's c1 gate would
+    // have made that a 100 TB-scale exchange); values are identical
+    // (same integer arithmetic), asserted by the unchanged DuckDB oracle.
+    val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
     docs.select(col("doc_id"), length(col("text")).as("n_chars"),
-        length(regexp_replace(lower(col("text")), "[^a-z]", "")).as("alpha_chars"))
-      .join(tok, Seq("doc_id"), "left_outer")
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).as("alpha_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(transform(toks, t => length(t).cast("long")),
+                  lit(0L), (a, x) => a + x).as("sum_len"),
+        size(filter(toks, t => lower(t).isin(Stop: _*))).cast("long").as("stop_hits"))
       .select(col("doc_id"), col("n_chars"), col("n_tokens"),
         expr("(sum_len * 10000) div n_tokens").as("avg_token_len_e4"),
         expr("(stop_hits * 1000000) div n_tokens").as("stopword_ppm"),

@@ -93,7 +93,8 @@ class CurationPipelineSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_curation_resume").toString
     val io = new ParquetTableIO(dir)
     def run(resume: Boolean) =
-      new CurationPipeline(io, "t2", resume).run(spark, corpus, evalDocs = Some(evalSet))
+      new CurationPipeline(io, "t2", resume)
+        .run(spark, corpus, evalDocs = Some(evalSet), durableSignatures = true)
         .orderBy("doc_id").collect().map(_.toString).toSeq
     val first = run(resume = false)
     io.drop(spark, "c4_decontaminated"); io.drop(spark, "c5_redacted"); io.drop(spark, "c6_packed")
