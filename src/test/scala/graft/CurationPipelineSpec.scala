@@ -89,6 +89,22 @@ class CurationPipelineSpec extends AnyFunSuite {
       funnel("c6_packed") == 20, s"unexpected funnel: $funnel")
   }
 
+  test("determinism: identical packed output at shuffle.partitions 2 vs 13") {
+    def withParts(n: Int): Seq[String] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      try {
+        val dir = Files.createTempDirectory(s"graft_cur_det$n").toString
+        new CurationPipeline(new ParquetTableIO(dir), s"det$n")
+          .run(spark, corpus, evalDocs = Some(evalSet))
+          .orderBy("doc_id").collect().map(_.toString).toSeq
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val a = withParts(2)
+    assert(a == withParts(13) && a.nonEmpty,
+      "curation output must not depend on partitioning")
+  }
+
   test("resume: killing after c3 and resuming reproduces the identical output") {
     val dir = Files.createTempDirectory("graft_curation_resume").toString
     val io = new ParquetTableIO(dir)
