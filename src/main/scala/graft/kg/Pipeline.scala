@@ -25,6 +25,7 @@ final class Pipeline(val io: TableIO, val runId: String, val resume: Boolean = f
           broadcastDictMaxRows: Long = 1000000L,
           broadcastKbCtxMaxRows: Long = 10000000L,
           broadcastKbTermsMaxRows: Long = 5000000L): DataFrame = {
+    stageParams = paramsHash(k, saltR, hotThreshold)
 
     // Stage 0: ingest + per-row sha256 invariant vs the source snapshot (F3/J7)
     val files = stage(spark, "stage0_files",
@@ -115,6 +116,7 @@ final class Pipeline(val io: TableIO, val runId: String, val resume: Boolean = f
                broadcastDictMaxRows: Long = 1000000L,
                broadcastKbCtxMaxRows: Long = 10000000L,
                broadcastKbTermsMaxRows: Long = 5000000L): DataFrame = {
+    stageParams = paramsHash(k, saltR, hotThreshold, "delta")
     // Chaining means prev run's dir → NEW dir; writing into the dir being
     // read would overwrite prev's stage0_shas before the lazily-planned
     // reads of it execute (at best FileNotFound, at worst an empty delta).
@@ -267,6 +269,10 @@ object Pipeline {
       val runId = flag("--input").map(p => s"run-$p")
         .getOrElse(s"run-$nFiles${if (deltaPrev.isDefined) "-delta" else ""}")
       val pipe = new Pipeline(new ParquetTableIO(ckpt), runId = runId, resume = resume)
+      // fresh (non-resume) runs into an existing dir would otherwise APPEND a
+      // second set of lineage rows under the same run_id and double-count the
+      // per-stage metrics rollup below
+      if (!resume) pipe.io.drop(spark, pipe.LineageTable)
       val t0 = System.nanoTime()
       val triples = deltaPrev match {
         case Some(prev) =>

@@ -42,6 +42,11 @@ final class CurationPipeline(val io: TableIO, val runId: String,
           trainUpper256: Int = 236, valUpper256: Int = 246,
           packBudget: Int = 1024, packShards: Int = 32,
           durableSignatures: Boolean = false): DataFrame = {
+    // Folded into every lineage row: resume refuses (loudly) to reuse a
+    // checkpoint computed under different thresholds/langs/budgets.
+    stageParams = paramsHash(langs.mkString(","), minQualityPpm, minAlphaPpm,
+      minTokens, evalDocs.isDefined, decontamMinHits, trainUpper256,
+      valUpper256, packBudget, packShards, seed)
 
     // Write amplification is the 100 TB design constraint here: the corpus
     // TEXT is checkpointed exactly TWICE (c0 ingest-normalized, c5 redacted
@@ -150,6 +155,10 @@ object CurationPipeline {
     try {
       val docs = graft.Tables.documents(spark, sfDir)
       val pipe = new CurationPipeline(new ParquetTableIO(ckpt), s"cur-$sfDir", resume)
+      // a fresh (non-resume) run into an existing ckpt dir must not APPEND a
+      // second set of lineage rows under the same run_id — the funnel report
+      // below would double-count every stage
+      if (!resume) pipe.io.drop(spark, pipe.LineageTable)
       val t0 = System.nanoTime()
       // eval set: every 97th doc stands in for a benchmark
       val out = pipe.run(spark, docs,

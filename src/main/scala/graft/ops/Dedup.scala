@@ -61,12 +61,15 @@ object Dedup {
 
   /** LSH banding: 4 bands × 2 rows; near-dup candidate pairs share a band
     * signature. The pair join is on (band, signature) — high-cardinality keys,
-    * so the self-join cannot hot-spot. The operator entry runs the GUARDED
-    * path: hot buckets above [[DefaultMaxBucket]] are excluded, measured and
-    * logged (none exist in the test corpora, so the oracle semantics are
-    * unchanged there). */
+    * so the self-join cannot hot-spot. The operator entry applies the
+    * [[DefaultMaxBucket]] hot-bucket cap (same row semantics as the guarded
+    * pipeline path — no bucket in the test corpora exceeds it) but stays a
+    * LAZY plan: constructing this DataFrame runs no jobs, so plan-only uses
+    * (explain, plan lint) are free. Pipelines use [[minhashPairsGuarded]],
+    * which additionally materializes the shared signature table and MEASURES
+    * what the cap excluded — at the documented cost of eager jobs. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
-    minhashPairsGuarded(Tables.documents(spark, dir))
+    minhashPairsFor(Tables.documents(spark, dir), DefaultMaxBucket)
 
   /** Production default for the hot-bucket cap: a 1000-doc bucket still emits
     * ~5·10^5 pairs — tolerable once; anything larger is an exact-duplicate
@@ -120,7 +123,13 @@ object Dedup {
     * (executor memory+disk — it visibly spilled at 8M docs on an 8g heap);
     * a checkpointed pipeline passes its own stage writer instead
     * (CurationPipeline materializes through TableIO, which also makes the
-    * signature table resumable). */
+    * signature table resumable).
+    *
+    * NOTE: CONSTRUCTING this DataFrame runs real Spark jobs (the signature
+    * materialization and the guard measurement are driver actions) — that is
+    * the point of the guarded path. Plan-only consumers should use
+    * [[minhashPairsFor]] with the same cap, which is semantically identical
+    * and fully lazy. */
   def minhashPairsGuarded(docs: DataFrame, maxBucket: Int = DefaultMaxBucket,
                           materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     val sigs = materialize(bandSignaturesFor(docs))

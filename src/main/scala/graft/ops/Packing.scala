@@ -46,7 +46,10 @@ object Packing {
   def pack(df: DataFrame, key: Column, tokens: Column, budget: Int,
            shards: Int, seed: String, groupCols: Seq[Column] = Nil): DataFrame = {
     require(budget > 0 && shards > 0, "budget and shards must be positive")
-    require(shards.toLong * PacksPerShard > 0, s"too many shards for the id space: $shards")
+    // overflow-safe form: a sign check on the product misses wrapped-POSITIVE
+    // overflow (e.g. ~2e7 shards wraps past Long.MaxValue yet stays positive)
+    require(shards.toLong <= Long.MaxValue / PacksPerShard,
+      s"too many shards for the id space: $shards (max ${Long.MaxValue / PacksPerShard})")
     val shard = pmod(key, lit(shards.toLong)).cast("long")
     val w = Window.partitionBy(groupCols :+ col("shard"): _*)
       .orderBy(epochOrder(key, seed), key)

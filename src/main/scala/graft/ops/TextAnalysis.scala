@@ -16,19 +16,19 @@ object TextAnalysis {
   private val L3 = Seq("window", "stream", "batch")
   private val Stop = Seq("the", "a", "and", "of", "to")
 
-  /** Language ID: argmax of per-language marker hits, deterministic ties. */
+  /** Language ID: argmax of per-language marker hits, deterministic ties.
+    * Marker counting happens INSIDE the row (`size(filter(tokens, isin))`
+    * per language) — the same move that made [[qualityFor]] shuffle-free:
+    * the previous form exploded every token corpus-wide and aggregated back
+    * per doc_id, a corpus-sized exchange for a per-row classification that
+    * sits at the funnel's c1 gate position. Zero exchanges, plan-asserted;
+    * identical DuckDB oracle (same counts, same integer arithmetic). */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val terms = docs.select(col("doc_id"), explode(DocOps.tokens(col("text"))).as("term"))
-    val scores = terms.groupBy(col("doc_id")).agg(
-      sum(when(col("term").isin(L1: _*), 1L).otherwise(0L)).as("s1"),
-      sum(when(col("term").isin(L2: _*), 1L).otherwise(0L)).as("s2"),
-      sum(when(col("term").isin(L3: _*), 1L).otherwise(0L)).as("s3"))
-    docs.select(col("doc_id")).join(scores, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"),
-        coalesce(col("s1"), lit(0L)).as("s1"),
-        coalesce(col("s2"), lit(0L)).as("s2"),
-        coalesce(col("s3"), lit(0L)).as("s3"))
+    val toks = DocOps.tokens(col("text"))
+    def hits(markers: Seq[String]): Column =
+      size(filter(toks, t => t.isin(markers: _*))).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), hits(L1).as("s1"), hits(L2).as("s2"), hits(L3).as("s3"))
       .withColumn("langid",
         when(col("s1") === 0 && col("s2") === 0 && col("s3") === 0, "und")
           .when(col("s1") >= col("s2") && col("s1") >= col("s3"), "l1")

@@ -110,6 +110,9 @@ object StreamingPipeline {
       val frames =
         base.map(b => statsIo.read(spark, s"$compactDir/upto=$b")).toSeq ++
         deltas.map(id => statsIo.read(spark, s"$deltaDir/batch=$id"))
+      require(frames.nonEmpty,
+        s"no committed stats under '$deltaDir'/'$compactDir' — readStats is " +
+        "only meaningful after at least one micro-batch has committed")
       frames.reduce(_ unionByName _)
     }
     (assemble("df", "df_compact"), assemble("n", "n_compact"))

@@ -107,6 +107,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"shingle stage shuffles:\n$p")
   }
 
+  test("text_langid is fully in-row: zero exchanges") {
+    // marker counting runs as size(filter(tokens, isin)) per language — the
+    // old explode + corpus-wide groupBy re-shuffled every token of the corpus
+    val p = plan(graft.ops.TextAnalysis.langId(spark, sf))
+    assert(!p.contains("Exchange"), s"langId shuffles:\n$p")
+  }
+
   test("scoring join degrades to ShuffledHashJoin when kbCtx is measured large") {
     val src = CorpusGen.srcFiles(spark, 30).toDF()
     val pl = Extract.perLine(src)
