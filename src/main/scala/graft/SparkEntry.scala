@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup_simhash"      -> Dedup.simhash _,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "dedup_clusters"     -> Dedup.clusters _,
+    "dedup_spans"        -> Dedup.spans _,
     "dedup_embcos_pairs" -> Similarity.embeddingCosinePairs _,
     // incremental (delta) ingest: sha-based change detection over a
     // deterministic in-query v2 corpus (kg.Delta — the pipeline-level
@@ -451,6 +452,24 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
          |       CASE WHEN coalesce(c.cluster, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS keep
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin,
+    // substring/passage dedup: 10-token windows at stride 5, hash-grouped
+    // corpus-wide; keep=1 only at the first occurrence (min doc, min offset)
+    "dedup_spans" ->
+      """WITH parts AS (SELECT doc_id, string_split(text, ' ') AS p FROM documents),
+        |wpos AS (SELECT doc_id, pos, word FROM (SELECT doc_id, CAST(unnest(range(len(p))) AS INT) AS pos, unnest(p) AS word FROM parts) WHERE length(word) > 0),
+        |wn AS (SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS INT) AS tpos, word FROM wpos),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM wn GROUP BY doc_id),
+        |starts AS (SELECT doc_id, CAST(unnest(range(0, n - 10 + 1, 5)) AS INT) AS span_start FROM cnt WHERE n >= 10),
+        |sp AS (SELECT st.doc_id, st.span_start, md5(string_agg(w.word, ' ' ORDER BY w.tpos)) AS span_hash
+        |       FROM starts st JOIN wn w ON w.doc_id = st.doc_id AND w.tpos >= st.span_start AND w.tpos < st.span_start + 10
+        |       GROUP BY st.doc_id, st.span_start),
+        |f AS (SELECT doc_id, span_start, span_hash,
+        |        CAST(count(*) OVER (PARTITION BY span_hash) AS BIGINT) AS n_occurrences,
+        |        row_number() OVER (PARTITION BY span_hash ORDER BY doc_id, span_start) AS rn
+        |      FROM sp)
+        |SELECT doc_id, span_start, 10 AS span_len, span_hash, n_occurrences,
+        |       CASE WHEN rn = 1 THEN 1 ELSE 0 END AS keep
+        |FROM f""".stripMargin,
     // delta ingest: the v2 corpus (delete %101, modify %7, clone %50 as new
     // ids) built in SQL, then the same (key, sha) anti-joins as kg.Delta
     "delta_changed_docs" ->

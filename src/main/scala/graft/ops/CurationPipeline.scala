@@ -7,9 +7,9 @@ import graft.io.{ParquetTableIO, TableIO}
 /** The end-to-end training-data pipeline: the composition a user actually
   * runs over a raw document corpus before tokenization —
   *
-  *   ingest → language/quality filter → exact dedup → near-dup cluster
-  *   collapse → benchmark decontamination → PII/secret redaction →
-  *   train/val/test split → sequence packing
+  *   ingest → language/quality filter → exact dedup → [substring/span
+  *   strip] → near-dup cluster collapse → benchmark decontamination →
+  *   PII/secret redaction → train/val/test split → sequence packing
   *
   * Each stage is one of this library's tested operators; the pipeline only
   * composes them, checkpointing every stage through the same atomic
@@ -41,12 +41,13 @@ final class CurationPipeline(val io: TableIO, val runId: String,
           evalDocs: Option[DataFrame] = None, decontamMinHits: Long = 1L,
           trainUpper256: Int = 236, valUpper256: Int = 246,
           packBudget: Int = 1024, packShards: Int = 32,
-          durableSignatures: Boolean = false): DataFrame = {
+          durableSignatures: Boolean = false,
+          stripSpanTokens: Int = 0, stripSpanStride: Int = 0): DataFrame = {
     // Folded into every lineage row: resume refuses (loudly) to reuse a
     // checkpoint computed under different thresholds/langs/budgets.
     stageParams = paramsHash(langs.mkString(","), minQualityPpm, minAlphaPpm,
       minTokens, evalDocs.isDefined, decontamMinHits, trainUpper256,
-      valUpper256, packBudget, packShards, seed)
+      valUpper256, packBudget, packShards, seed, stripSpanTokens, stripSpanStride)
 
     // Write amplification is the 100 TB design constraint here: the corpus
     // TEXT is checkpointed exactly TWICE (c0 ingest-normalized, c5 redacted
@@ -79,10 +80,32 @@ final class CurationPipeline(val io: TableIO, val runId: String,
     val s2 = stage(spark, "c2_exact_dedup",
       s1.join(reps, Seq("sha256", "doc_id"), "left_semi").select(col("doc_id")))
 
+    // c2s (optional): substring-level dedup — recurring long token spans
+    // (boilerplate paragraphs, license blobs, quoted passages) across
+    // otherwise-distinct documents keep only their FIRST occurrence. The
+    // stage checkpoints a compact STRIP table (doc_id, span_start, span_len);
+    // the text is never rewritten to storage here — every downstream text
+    // consumer applies the strips in-row, so write amplification stays at
+    // exactly two text copies (c0 + c5).
+    val spanStrips: Option[DataFrame] =
+      if (stripSpanTokens <= 0) None
+      else {
+        val stride = if (stripSpanStride > 0) stripSpanStride else stripSpanTokens
+        Some(stage(spark, "c2s_span_strips",
+          Dedup.dupSpans(
+              s0.select(col("doc_id"), col("text")).join(s2, Seq("doc_id"), "left_semi"),
+              stripSpanTokens, stride)
+            .filter(col("keep") === 0)
+            .select(col("doc_id"), col("span_start"), col("span_len"))))
+      }
+
     // the surviving text stream for the content-based stages below: c0 text
-    // filtered by the current keep-set (text stays on the scan side)
-    def surviving(keep: DataFrame): DataFrame =
-      s0.select(col("doc_id"), col("text")).join(keep, Seq("doc_id"), "left_semi")
+    // filtered by the current keep-set (text stays on the scan side), with
+    // the span strips (if any) applied in-row
+    def surviving(keep: DataFrame): DataFrame = {
+      val base = s0.select(col("doc_id"), col("text")).join(keep, Seq("doc_id"), "left_semi")
+      spanStrips.map(Dedup.stripSpans(base, _)).getOrElse(base)
+    }
 
     // c3: near-dup cluster collapse — guarded banded MinHash-LSH pairs →
     // connected components → keep only each cluster's representative
@@ -111,10 +134,13 @@ final class CurationPipeline(val io: TableIO, val runId: String,
     }
 
     // c5: PII/secret redaction applied to the final keep-set — the SECOND
-    // and last full-text write (the product); sha256 restated post-redaction
+    // and last full-text write (the product); sha256 restated post-redaction;
+    // span strips (if any) applied in-row before redaction so the product
+    // text is the deduplicated text
+    val s5input0 = s0.join(s4, Seq("doc_id"), "left_semi")
+    val s5input = spanStrips.map(Dedup.stripSpans(s5input0, _)).getOrElse(s5input0)
     val s5 = stage(spark, "c5_redacted",
-      Curation.redact(
-          s0.join(s4, Seq("doc_id"), "left_semi"), col("text"))
+      Curation.redact(s5input, col("text"))
         .select(col("doc_id"), col("redacted").as("text"), col("lang"),
                 col("source"),
                 (col("n_emails") + col("n_ips") + col("n_secrets")).as("n_redactions"))

@@ -146,6 +146,86 @@ object Dedup {
     pairsFromSigs(sigs, maxBucket)
   }
 
+  // --- Substring/passage-level dedup -----------------------------------
+  //
+  // Doc-level dedup (exact + near) misses the most common real-corpus
+  // redundancy: a long token span (boilerplate header, license blob, quoted
+  // passage) repeated across otherwise-distinct documents. The standard
+  // scalable treatment is fixed-n token windows at a fixed stride, hashed
+  // and grouped corpus-wide; the first occurrence (min doc_id, then min
+  // offset) keeps, every other occurrence is a STRIP decision — a compact
+  // (doc_id, span_start, span_len) row, applied to the text by an in-row
+  // token filter. Suffix-array substring dedup finds arbitrary-length
+  // repeats but needs a global sort of every suffix; hashed windows are the
+  // shape that survives 10^12 documents (one high-cardinality hash-groupBy).
+
+  /** Fixed-n token spans at `stride`: (doc_id, span_start, span_hash), where
+    * span_start indexes the document's non-empty-token array (same word
+    * grammar as [[shinglesFor]]). Windows are computed IN-ROW (the token
+    * array never leaves its row); only full n-token windows are emitted. */
+  def spanHashes(docs: DataFrame, n: Int, stride: Int): DataFrame = {
+    require(n > 0 && stride > 0, "span length and stride must be positive")
+    val ws = filter(split(col("text"), " "), w => length(w) > 0)
+    docs.select(col("doc_id"), ws.as("ws"))
+      // sequence(a, b) steps DOWNWARD when b < a, so the short-doc case must
+      // be guarded to an empty start list, not sequence(0, negative)
+      .select(col("doc_id"), col("ws"),
+        explode(when(size(col("ws")) >= n,
+            sequence(lit(0), size(col("ws")) - n, lit(stride)))
+          .otherwise(array().cast("array<int>"))).as("span_start"))
+      .select(col("doc_id"), col("span_start"),
+        md5(concat_ws(" ", slice(col("ws"), col("span_start") + 1, lit(n)))).as("span_hash"))
+  }
+
+  /** Span-level dedup decisions: every window with its corpus-wide occurrence
+    * count and keep flag — keep = 1 exactly for the first occurrence of the
+    * hash (min doc_id, then min span_start: deterministic), 0 for every
+    * recurrence. One hash-groupBy (partial agg applies) + one equi-join back
+    * on the high-cardinality hash — no window over the corpus, no skew key.
+    * Rows with keep = 0 are the strip set [[stripSpans]] consumes. */
+  def dupSpans(docs: DataFrame, n: Int = 10, stride: Int = 10): DataFrame = {
+    val h = spanHashes(docs, n, stride)
+    val firsts = h.groupBy(col("span_hash"))
+      .agg(min(struct(col("doc_id"), col("span_start"))).as("first"),
+           count(lit(1)).as("n_occurrences"))
+    h.join(firsts, "span_hash")
+      .select(col("doc_id"), col("span_start"), lit(n).as("span_len"),
+        col("span_hash"), col("n_occurrences"),
+        when(col("first.doc_id") === col("doc_id") &&
+             col("first.span_start") === col("span_start"), 1).otherwise(0).as("keep"))
+  }
+
+  /** Apply strip decisions: rebuild each document's text with the tokens of
+    * every keep=0 span removed (token-level — rebuilt text is the kept
+    * tokens joined by single spaces). All columns pass through, `text`
+    * replaced. The decisions table is compact (only affected docs join);
+    * unaffected documents' text is returned untouched, byte-identical.
+    * `decisions` is [[dupSpans]] output, or a pre-filtered compact
+    * (doc_id, span_start, span_len) strip table (no `keep` column). */
+  def stripSpans(docs: DataFrame, decisions: DataFrame): DataFrame = {
+    val strips = (if (decisions.columns.contains("keep"))
+                    decisions.filter(col("keep") === 0) else decisions)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_len"))).as("strips"))
+    val ws = filter(split(col("text"), " "), w => length(w) > 0)
+    val kept = filter(ws, (w, i) =>
+      !exists(col("strips"), s =>
+        i >= s.getField("span_start") &&
+        i < s.getField("span_start") + s.getField("span_len")))
+    val outCols = docs.columns.map {
+      case "text" => when(col("strips").isNull, col("text"))
+                       .otherwise(concat_ws(" ", kept)).as("text")
+      case c => col(c)
+    }
+    docs.join(strips, Seq("doc_id"), "left_outer").select(outCols.toSeq: _*)
+  }
+
+  /** Operator entry: 10-token windows at stride 5 over `documents` (the
+    * overlapping-stride form — recurrences are caught even when the repeat
+    * is not window-aligned in the recurring document). */
+  def spans(spark: SparkSession, dir: String): DataFrame =
+    dupSpans(Tables.documents(spark, dir), n = 10, stride = 5)
+
   /** SimHash (32-bit): per-term md5 hex high-bits weighted by tf. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val tf = Tables.documents(spark, dir)

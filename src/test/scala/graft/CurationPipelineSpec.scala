@@ -105,6 +105,41 @@ class CurationPipelineSpec extends AnyFunSuite {
       "curation output must not depend on partitioning")
   }
 
+  test("span strips: boilerplate shared by 3 docs survives in exactly one; no doc dropped") {
+    val boiler = "this file is part of the example project released under license terms"
+    val withBoiler = corpus.unionByName(Seq(
+      (80L, boiler + " " + sentence(80, 60), "en", "srcA"),
+      (81L, boiler + " " + sentence(81, 60), "en", "srcA"),
+      (82L, boiler + " " + sentence(82, 60), "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source"))
+    val dir = Files.createTempDirectory("graft_curation_spans").toString
+    val pipe = new CurationPipeline(new ParquetTableIO(dir), "t3")
+    val out = pipe.run(spark, withBoiler, evalDocs = Some(evalSet), stripSpanTokens = 12)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(Set(80L, 81L, 82L).subsetOf(kept),
+      "span stripping removes spans, never documents")
+    val texts = pipe.io.read(spark, "c5_redacted")
+      .filter(col("doc_id").isin(80L, 81L, 82L))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(texts(80L).startsWith(boiler), "first occurrence keeps its boilerplate")
+    assert(texts(81L) == sentence(81, 60) && texts(82L) == sentence(82, 60),
+      "recurrences lose exactly the boilerplate span")
+    // the strip table is the compact decision record: the two boilerplate
+    // recurrences, never the first occurrence
+    val strips = pipe.io.read(spark, "c2s_span_strips")
+      .select("doc_id", "span_start", "span_len").as[(Long, Int, Int)].collect().toSet
+    assert(Set((81L, 0, 12), (82L, 0, 12)).subsetOf(strips), strips.toString)
+    assert(!strips.exists(_._1 == 80L), "first occurrence must not be stripped")
+    // composition effect: doc 61 (near-dup of 1, one word changed) shares its
+    // unchanged 12-token windows with doc 1 — those strip as substring dups,
+    // and the unique residual (incl. the changed word) then rightly SURVIVES
+    // near-dup collapse instead of being dropped wholesale
+    assert(strips.exists(_._1 == 61L), s"doc 61's duplicated spans should strip: $strips")
+    assert(kept.contains(61L), "doc 61's unique residual survives once its dup spans strip")
+    assert(pipe.io.read(spark, "c5_redacted").filter(col("doc_id") === 61L)
+      .select("text").as[String].collect()(0).contains("CHANGED"))
+  }
+
   test("resume: killing after c3 and resuming reproduces the identical output") {
     val dir = Files.createTempDirectory("graft_curation_resume").toString
     val io = new ParquetTableIO(dir)

@@ -128,6 +128,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.values.count(_._2 == 1) == 10, s"exactly the 10 base docs survive: $out")
   }
 
+  test("span dedup: recurring boilerplate keeps only its first occurrence; strip removes it") {
+    // 12-token boilerplate shared by docs 1..3 with unique tails
+    val boiler = "this file is part of the example project released under license terms"
+    val tails = Map(1L -> sentence(21, 15), 2L -> sentence(22, 15), 3L -> sentence(23, 15))
+    val d = Seq(
+      (1L, boiler + " " + tails(1L)),
+      (2L, boiler + " " + tails(2L)),
+      (3L, boiler + " " + tails(3L)),
+      (4L, sentence(24, 20)),
+      (5L, "too short")).toDF("doc_id", "text")
+    val dec = Dedup.dupSpans(d, n = 12, stride = 12)
+    val boilerRows = dec.filter(col("span_start") === 0 && col("n_occurrences") === 3)
+      .select("doc_id", "keep").as[(Long, Int)].collect().toMap
+    assert(boilerRows == Map(1L -> 1, 2L -> 0, 3L -> 0),
+      s"first occurrence (min doc) keeps, recurrences strip: $boilerRows")
+    // docs shorter than n emit no spans (and must not crash sequence())
+    assert(dec.filter(col("doc_id") === 5L).count() == 0)
+
+    val stripped = Dedup.stripSpans(d, dec)
+      .as[(Long, String)].collect().toMap
+    assert(stripped(1L) == boiler + " " + tails(1L), "first occurrence byte-identical")
+    assert(stripped(2L) == tails(2L) && stripped(3L) == tails(3L),
+      "recurrences lose exactly the boilerplate span")
+    assert(stripped(4L) == sentence(24, 20) && stripped(5L) == "too short",
+      "untouched docs byte-identical")
+    // corpus-wide: the boilerplate now occurs exactly once
+    assert(stripped.values.count(_.contains("released under license")) == 1)
+  }
+
+  test("span dedup: overlapping stride catches recurrences not window-aligned") {
+    val passage = sentence(31, 10)
+    val d = Seq(
+      (1L, passage + " " + sentence(32, 10)),                       // passage at token 0
+      (2L, sentence(33, 5) + " " + passage + " " + sentence(34, 7)) // passage at token 5
+    ).toDF("doc_id", "text")
+    val dups = Dedup.dupSpans(d, n = 10, stride = 5)
+      .filter(col("n_occurrences") >= 2)
+      .select("doc_id", "span_start", "keep").as[(Long, Int, Int)].collect().toSet
+    assert(dups == Set((1L, 0, 1), (2L, 5, 0)),
+      s"stride-5 windows must align on the shifted recurrence: $dups")
+  }
+
   test("multi-probe LSH: superset of single-probe candidates, better near-dup recall") {
     val single = Similarity.lshTopKFor(embeddings, k = 3, multiProbe = false)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
