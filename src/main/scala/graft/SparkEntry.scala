@@ -104,6 +104,7 @@ object SparkEntry {
     "sim_lsh_multiprobe_topk" -> ((s: SparkSession, dir: String) => Similarity.lshMultiProbeTopK(s, dir)),
     "sim_ivf_topk"       -> ((s: SparkSession, dir: String) => Similarity.ivfTopK(s, dir)),
     "sim_pq_topk"        -> ((s: SparkSession, dir: String) => Similarity.pqTopK(s, dir)),
+    "sim_ivfpq_topk"     -> ((s: SparkSession, dir: String) => Similarity.ivfpqTopK(s, dir)),
     // text analysis
     "text_langid"        -> TextAnalysis.langId _,
     "text_quality"       -> TextAnalysis.quality _,
@@ -173,6 +174,42 @@ object SparkEntry {
   private val EmbEx =
     """ex AS (SELECT vec_id, CAST(unnest(range(len(embedding))) AS INT) AS pos, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
       |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY vec_id)""".stripMargin
+  /** Shared trained-IVF CTE chain (2 unrolled Lloyd rounds over 16 seeded
+    * cells, queries = vec_id<5, nprobe=2): yields `cells` (vector → cell)
+    * and `probes` (query → probed cells). Mirrors kmeansCentroidsFor /
+    * assignCells; shared by sim_ivf_topk and sim_ivfpq_topk. */
+  private val IvfChain =
+    """c0 AS (SELECT vec_id AS cell, pos, x FROM ex WHERE vec_id < 16),
+      |n0 AS (SELECT cell, sqrt(sum(x*x)) AS cn FROM c0 GROUP BY cell),
+      |af0 AS (SELECT e.vec_id, c.cell, round(sum(e.x * c.x) / (n.n * cn.cn), 9) AS aff
+      |        FROM ex e JOIN c0 c ON e.pos = c.pos
+      |        JOIN norms n ON e.vec_id = n.vec_id JOIN n0 cn ON c.cell = cn.cell
+      |        GROUP BY e.vec_id, c.cell, n.n, cn.cn),
+      |as0 AS (SELECT vec_id, cell FROM (
+      |          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell) AS rn FROM af0)
+      |        WHERE rn = 1),
+      |c1 AS (SELECT a.cell, e.pos, round(avg(e.x), 6) AS x FROM as0 a JOIN ex e ON a.vec_id = e.vec_id GROUP BY a.cell, e.pos),
+      |n1 AS (SELECT cell, sqrt(sum(x*x)) AS cn FROM c1 GROUP BY cell),
+      |af1 AS (SELECT e.vec_id, c.cell, round(sum(e.x * c.x) / (n.n * cn.cn), 9) AS aff
+      |        FROM ex e JOIN c1 c ON e.pos = c.pos
+      |        JOIN norms n ON e.vec_id = n.vec_id JOIN n1 cn ON c.cell = cn.cell
+      |        GROUP BY e.vec_id, c.cell, n.n, cn.cn),
+      |as1 AS (SELECT vec_id, cell FROM (
+      |          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell) AS rn FROM af1)
+      |        WHERE rn = 1),
+      |c2 AS (SELECT a.cell, e.pos, round(avg(e.x), 6) AS x FROM as1 a JOIN ex e ON a.vec_id = e.vec_id GROUP BY a.cell, e.pos),
+      |n2 AS (SELECT cell, sqrt(sum(x*x)) AS cn FROM c2 GROUP BY cell),
+      |aff AS (SELECT e.vec_id, c.cell, round(sum(e.x * c.x) / (n.n * cn.cn), 9) AS aff
+      |        FROM ex e JOIN c2 c ON e.pos = c.pos
+      |        JOIN norms n ON e.vec_id = n.vec_id JOIN n2 cn ON c.cell = cn.cell
+      |        GROUP BY e.vec_id, c.cell, n.n, cn.cn),
+      |cells AS (SELECT vec_id, cell FROM (
+      |            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell) AS rn FROM aff)
+      |          WHERE rn = 1),
+      |probes AS (SELECT vec_id AS q_id, cell FROM (
+      |             SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell) AS rn FROM aff WHERE vec_id < 5)
+      |           WHERE rn <= 2)""".stripMargin
+
   /** Shared tf-idf CTE chain (documents as the corpus). */
   private val TfIdf =
     s"""$T,
@@ -560,36 +597,7 @@ object SparkEntry {
          |SELECT q_id, vec_id, rnk, round(cos6, 4) AS cos FROM r WHERE rnk <= 5""".stripMargin,
     "sim_ivf_topk" ->
       s"""WITH $EmbEx,
-         |c0 AS (SELECT vec_id AS cell, pos, x FROM ex WHERE vec_id < 16),
-         |n0 AS (SELECT cell, sqrt(sum(x*x)) AS cn FROM c0 GROUP BY cell),
-         |af0 AS (SELECT e.vec_id, c.cell, round(sum(e.x * c.x) / (n.n * cn.cn), 9) AS aff
-         |        FROM ex e JOIN c0 c ON e.pos = c.pos
-         |        JOIN norms n ON e.vec_id = n.vec_id JOIN n0 cn ON c.cell = cn.cell
-         |        GROUP BY e.vec_id, c.cell, n.n, cn.cn),
-         |as0 AS (SELECT vec_id, cell FROM (
-         |          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell) AS rn FROM af0)
-         |        WHERE rn = 1),
-         |c1 AS (SELECT a.cell, e.pos, round(avg(e.x), 6) AS x FROM as0 a JOIN ex e ON a.vec_id = e.vec_id GROUP BY a.cell, e.pos),
-         |n1 AS (SELECT cell, sqrt(sum(x*x)) AS cn FROM c1 GROUP BY cell),
-         |af1 AS (SELECT e.vec_id, c.cell, round(sum(e.x * c.x) / (n.n * cn.cn), 9) AS aff
-         |        FROM ex e JOIN c1 c ON e.pos = c.pos
-         |        JOIN norms n ON e.vec_id = n.vec_id JOIN n1 cn ON c.cell = cn.cell
-         |        GROUP BY e.vec_id, c.cell, n.n, cn.cn),
-         |as1 AS (SELECT vec_id, cell FROM (
-         |          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell) AS rn FROM af1)
-         |        WHERE rn = 1),
-         |c2 AS (SELECT a.cell, e.pos, round(avg(e.x), 6) AS x FROM as1 a JOIN ex e ON a.vec_id = e.vec_id GROUP BY a.cell, e.pos),
-         |n2 AS (SELECT cell, sqrt(sum(x*x)) AS cn FROM c2 GROUP BY cell),
-         |aff AS (SELECT e.vec_id, c.cell, round(sum(e.x * c.x) / (n.n * cn.cn), 9) AS aff
-         |        FROM ex e JOIN c2 c ON e.pos = c.pos
-         |        JOIN norms n ON e.vec_id = n.vec_id JOIN n2 cn ON c.cell = cn.cell
-         |        GROUP BY e.vec_id, c.cell, n.n, cn.cn),
-         |cells AS (SELECT vec_id, cell FROM (
-         |            SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell) AS rn FROM aff)
-         |          WHERE rn = 1),
-         |probes AS (SELECT vec_id AS q_id, cell FROM (
-         |             SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell) AS rn FROM aff WHERE vec_id < 5)
-         |           WHERE rn <= 2),
+         |$IvfChain,
          |cand AS (SELECT p.q_id, v.vec_id FROM probes p JOIN cells v ON v.cell = p.cell AND v.vec_id <> p.q_id),
          |dots AS (SELECT c.q_id, c.vec_id, sum(a.x * b.x) AS dot
          |         FROM cand c JOIN ex a ON a.vec_id = c.q_id JOIN ex b ON b.vec_id = c.vec_id AND b.pos = a.pos
@@ -656,6 +664,43 @@ object SparkEntry {
          |        GROUP BY e.vec_id, e.block, c.cell),
          |adc AS (SELECT l.q_id, v.vec_id, round(sum(l.pd), 6) AS adist
          |        FROM codes v JOIN lut l ON l.block = v.block AND l.code = v.code AND v.vec_id <> l.q_id
+         |        GROUP BY l.q_id, v.vec_id),
+         |r AS (SELECT q_id, vec_id, adist, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS INT) AS rnk FROM adc)
+         |SELECT q_id, vec_id, rnk, adist FROM r WHERE rnk <= 5""".stripMargin,
+    // IVF-PQ (IVFADC): trained coarse cells + PQ-coded residuals; the ADC
+    // scan joins codes to the per-(query, probed-cell) residual LUT
+    "sim_ivfpq_topk" ->
+      s"""WITH $EmbEx,
+         |$IvfChain,
+         |rex AS (SELECT e.vec_id, cl.cell, e.pos, e.x - c.x AS x
+         |        FROM ex e JOIN cells cl ON e.vec_id = cl.vec_id
+         |                  JOIN c2 c ON c.cell = cl.cell AND c.pos = e.pos),
+         |sx AS (SELECT vec_id, cell, CAST(pos // 16 AS INT) AS block, pos, x FROM rex),
+         |s0 AS (SELECT block, CAST(vec_id AS INT) AS pqc, pos, x AS cx FROM sx WHERE vec_id < 8),
+         |d0 AS (SELECT e.vec_id, e.block, c.pqc, round(sum((e.x - c.cx) * (e.x - c.cx)), 9) AS d2
+         |       FROM sx e JOIN s0 c ON e.block = c.block AND e.pos = c.pos
+         |       GROUP BY e.vec_id, e.block, c.pqc),
+         |a0 AS (SELECT vec_id, block, pqc FROM (
+         |         SELECT vec_id, block, pqc, row_number() OVER (PARTITION BY vec_id, block ORDER BY d2, pqc) AS rn FROM d0)
+         |       WHERE rn = 1),
+         |cb AS (SELECT e.block, a.pqc, e.pos, round(avg(e.x), 6) AS cx
+         |       FROM a0 a JOIN sx e ON a.vec_id = e.vec_id AND a.block = e.block
+         |       GROUP BY e.block, a.pqc, e.pos),
+         |d1 AS (SELECT e.vec_id, e.block, c.pqc, round(sum((e.x - c.cx) * (e.x - c.cx)), 9) AS d2
+         |       FROM sx e JOIN cb c ON e.block = c.block AND e.pos = c.pos
+         |       GROUP BY e.vec_id, e.block, c.pqc),
+         |codes AS (SELECT vec_id, block, pqc AS code FROM (
+         |            SELECT vec_id, block, pqc, row_number() OVER (PARTITION BY vec_id, block ORDER BY d2, pqc) AS rn FROM d1)
+         |          WHERE rn = 1),
+         |codesc AS (SELECT c.vec_id, cl.cell, c.block, c.code FROM codes c JOIN cells cl ON c.vec_id = cl.vec_id),
+         |qrex AS (SELECT p.q_id, p.cell, e.pos, e.x - c.x AS x
+         |         FROM probes p JOIN ex e ON e.vec_id = p.q_id
+         |                       JOIN c2 c ON c.cell = p.cell AND c.pos = e.pos),
+         |lut AS (SELECT q.q_id, q.cell, cb.block, cb.pqc AS code, round(sum((q.x - cb.cx) * (q.x - cb.cx)), 9) AS pd
+         |        FROM qrex q JOIN cb ON cb.pos = q.pos
+         |        GROUP BY q.q_id, q.cell, cb.block, cb.pqc),
+         |adc AS (SELECT l.q_id, v.vec_id, round(sum(l.pd), 6) AS adist
+         |        FROM codesc v JOIN lut l ON l.cell = v.cell AND l.block = v.block AND l.code = v.code AND v.vec_id <> l.q_id
          |        GROUP BY l.q_id, v.vec_id),
          |r AS (SELECT q_id, vec_id, adist, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS INT) AS rnk FROM adc)
          |SELECT q_id, vec_id, rnk, adist FROM r WHERE rnk <= 5""".stripMargin,

@@ -295,6 +295,87 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rnk"), col("adist"))
   }
 
+  // --- IVF-PQ composition (IVFADC) --------------------------------------
+  //
+  // The production billion-scale layout: trained coarse cells (IVF) with
+  // product-quantized RESIDUALS (vector − its cell centroid) — residuals
+  // cluster much tighter than raw vectors, so the same tiny codebooks
+  // quantize them far more accurately, and the stored index is (cell, 4
+  // one-byte codes) per vector: the search scan touches codes ONLY, never
+  // raw embeddings (plan-asserted over a stored codes table in PlanSpec).
+  // Same classic design as PQ (Jégou, Douze, Schmid, TPAMI 2011 — IVFADC);
+  // one shared residual codebook across cells, per the paper. Deterministic
+  // seeded k-means discipline throughout (fixed Lloyd rounds, rounded
+  // means/distances, cell-asc tie-breaks) — bit-reproducible across engines.
+
+  /** ADC search over a (stored) IVF-PQ codes table (vec_id, cell, block,
+    * code) and a per-(query, probed-cell) LUT (q_id, cell, block, code, pd):
+    * candidates are restricted to the probed cells by the `cell` equi-join,
+    * the distance is the LUT sum over each candidate's codes, and the big
+    * (codes) side is never anything but codes. */
+  def ivfpqAdc(codes: DataFrame, lut: DataFrame, k: Int): DataFrame = {
+    val adc = codes.join(broadcast(lut), Seq("cell", "block", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(sum(col("pd")), 6).as("adist"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id").asc)
+    adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rnk"), col("adist"))
+  }
+
+  /** Residual vectors (vec − its assigned cell centroid), shaped like an
+    * embeddings table (so the PQ trainer/encoder consume it unchanged) with
+    * the coarse cell carried alongside. */
+  private def residualsFor(emb: DataFrame, cents: DataFrame,
+                           cells: DataFrame): DataFrame =
+    vecsFor(emb).join(cells, "vec_id").join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("cell"),
+              zip_with(col("e"), col("ce"), (a, b) => a - b).as("embedding"))
+
+  def ivfpqTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    ivfpqTopKFor(Tables.embeddings(spark, dir), k)
+
+  def ivfpqTopKFor(emb: DataFrame, k: Int = 5, nprobe: Int = 2, nCells: Int = 16,
+                   iters: Int = 2, dsub: Int = 16, ksub: Int = 8,
+                   pqIters: Int = 1): DataFrame = {
+    val (codes, lut) = ivfpqIndexAndLut(emb, nprobe, nCells, iters, dsub, ksub, pqIters)
+    ivfpqAdc(codes, lut, k)
+  }
+
+  /** Build the IVF-PQ index (codes per vector) and the queries' ADC LUT.
+    * Exposed for the stored-codes plan test: `codes` round-trips through
+    * parquet there, `lut` is rebuilt from the (tiny) query set. */
+  def ivfpqIndexAndLut(emb: DataFrame, nprobe: Int = 2, nCells: Int = 16,
+                       iters: Int = 2, dsub: Int = 16, ksub: Int = 8,
+                       pqIters: Int = 1): (DataFrame, DataFrame) = {
+    val cents = kmeansCentroidsFor(emb, nCells, iters)
+    val cells = assignCells(vecsFor(emb), cents)
+    val resid = residualsFor(emb, cents, cells)
+    val cb = pqCodebookFor(resid, dsub, ksub, pqIters)
+    val codes = pqCodesFor(resid, cb, dsub).join(cells, "vec_id")
+
+    // probes: the query's nprobe best cells, same affinity ranking as IVF
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("aff").desc, col("cell").asc)
+    val probes = vecsFor(emb).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      .join(broadcast(cents), lit(true))
+      .select(col("q_id"), col("qe"), col("cell"),
+        round(dot(col("qe"), col("ce")) / (l2(col("qe")) * l2(col("ce"))), 9).as("aff"))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("qe"), col("cell"))
+    // per-(query, probed cell) LUT over the query's RESIDUAL in that cell
+    val qres = probes.join(broadcast(cents), "cell")
+      .select(col("q_id"), col("cell"),
+        posexplode(zip_with(col("qe"), col("ce"), (a, b) => a - b)).as(Seq("dim", "x")))
+      .select(col("q_id"), col("cell"), (col("dim") / dsub).cast("int").as("block"),
+              col("dim").cast("int").as("dim"), col("x"))
+    val cbR = cb.select(col("block"), col("dim"), col("cell").as("code"), col("cx"))
+    val lut = qres.join(broadcast(cbR), Seq("block", "dim"))
+      .groupBy(col("q_id"), col("cell"), col("block"), col("code"))
+      .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 9).as("pd"))
+    (codes, lut)
+  }
+
   def lshTopKFor(emb: DataFrame, k: Int = 5, multiProbe: Boolean = false): DataFrame = {
     val v = vecsFor(emb).join(lshBucketsFor(emb), "vec_id")
     val q0 = v.filter(col("vec_id") < 5)

@@ -213,6 +213,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hits >= 4, s"PQ ADC should recover ≥4/5 planted neighbours in top-3, got $hits")
   }
 
+  test("IVF-PQ: codes in range; ADC over probed cells matches plain IVF's planted recall") {
+    val (codes, lut) = Similarity.ivfpqIndexAndLut(embeddings)
+    val c = codes.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("block"),
+                                      r.getAs[Int]("code"), r.getAs[Long]("cell")))
+    assert(c.length == embeddings.count() * 4, "one code per (vector, block)")
+    assert(c.forall { case (_, b, cd, _) => b >= 0 && b < 4 && cd >= 0 && cd < 8 })
+    // every vector's 4 codes agree on one coarse cell
+    assert(c.groupBy(_._1).values.forall(_.map(_._4).distinct.length == 1))
+
+    def hitsOf(top: Set[(Long, Long)]): Int =
+      (0 until 5).count(i => top.contains((i.toLong, (1000 + i).toLong)))
+    val ivfpq = Similarity.ivfpqTopKFor(embeddings, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopKFor(embeddings, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // residual quantization is tight for a cos≈0.995 near-dup in the same
+    // cell: the composition must not lose the recall plain IVF has
+    assert(hitsOf(ivfpq) >= hitsOf(ivf),
+      s"IVF-PQ recall ${hitsOf(ivfpq)} < plain IVF ${hitsOf(ivf)}")
+    assert(hitsOf(ivfpq) >= 4, s"IVF-PQ should recover ≥4/5 planted neighbours, got ${hitsOf(ivfpq)}")
+  }
+
   test("embedding LSH bands: recall ≥ 0.9 vs brute-force high-cosine pairs") {
     // ground truth: all pairs with cosine ≥ 0.9 by brute force
     val v = embeddings.select(col("vec_id"),

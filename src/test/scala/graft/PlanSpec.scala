@@ -175,6 +175,22 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
   }
 
+  test("IVF-PQ search over a stored codes table never reads raw embeddings") {
+    // production shape: codes are the stored index, raw vectors stay cold —
+    // the ADC scan's ReadSchema must be (vec_id, cell, block, code) only
+    val emb = Tables.embeddings(spark, sf)
+    val (codes, lut) = graft.ops.Similarity.ivfpqIndexAndLut(emb)
+    val dir = java.nio.file.Files.createTempDirectory("pqcodes").toString
+    codes.write.mode("overwrite").parquet(dir)
+    val search = graft.ops.Similarity.ivfpqAdc(spark.read.parquet(dir), lut, k = 5)
+    val codesLeaf = search.queryExecution.sparkPlan.collectLeaves()
+      .map(_.toString).find(_.contains("pqcodes"))
+    assert(codesLeaf.isDefined, "codes scan leaf not found")
+    assert(codesLeaf.get.contains("ReadSchema") && !codesLeaf.get.contains("embedding"),
+      s"codes scan must not read embeddings:\n${codesLeaf.get}")
+    assert(search.count() > 0)
+  }
+
   test("partition pruning reaches the lang-partitioned checkpoint scan") {
     val dir = java.nio.file.Files.createTempDirectory("prune").toString
     CorpusGen.srcFiles(spark, 40).toDF()
