@@ -119,9 +119,18 @@ final class CurationPipeline(val io: TableIO, val runId: String,
     val sigMaterialize: DataFrame => DataFrame =
       if (durableSignatures) df => stage(spark, "c3_minhash_sigs", df)
       else _.localCheckpoint()
+    // under durableSignatures every CC round ALSO checkpoints through
+    // TableIO (deterministic round names) — a run killed mid-iteration
+    // resumes from its last committed round instead of re-deriving the
+    // pair graph (the right setting on a 1000-executor cluster, where
+    // localCheckpoint blocks die with their executor)
+    val ccMaterialize: (DataFrame, String) => DataFrame =
+      if (durableSignatures) (df, name) => stage(spark, s"c3_$name", df)
+      else (df, _) => df.localCheckpoint()
     val s3 = stage(spark, "c3_neardup_collapse",
       Dedup.clustersFor(s2text,
-          Dedup.minhashPairsGuarded(s2text, materialize = sigMaterialize))
+          Dedup.minhashPairsGuarded(s2text, materialize = sigMaterialize),
+          ccMaterialize = ccMaterialize)
         .filter(col("keep") === 1).select(col("doc_id")))
 
     // c4: benchmark decontamination (skipped when no eval set is supplied)

@@ -277,19 +277,30 @@ object Dedup {
     * jump halves the distance to each component's minimum every round, so
     * convergence is O(log diameter) rounds, not O(diameter) — the same
     * doubling idea as the large-star/small-star CC algorithm, which is what
-    * a 10^12-edge deployment would checkpoint per round. Lineage is truncated
-    * with localCheckpoint each round (the standard iterative-DataFrame
-    * pattern) so plans stay constant-size.
+    * a 10^12-edge deployment would checkpoint per round.
+    *
+    * `materialize(df, name)` truncates each round's lineage so plans stay
+    * constant-size. The default is `localCheckpoint` (executor memory+disk —
+    * fastest, but one lost executor mid-iteration invalidates its blocks and
+    * fails the stage); a checkpointed pipeline passes its stage writer
+    * instead (CurationPipeline under `durableSignatures=true` routes every
+    * round through TableIO), which makes each ROUND resumable: a run killed
+    * mid-iteration restarts from its last committed round, not from the
+    * edge list. Round names are deterministic (`cc_edges`, `cc_round_N`).
     *
     * Returns (doc_id, cluster) for every doc that appears in ≥1 pair;
     * cluster = the component's minimum doc_id (deterministic). */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .localCheckpoint()
-    var labels = edges.select(col("a").as("v")).distinct()
-      .select(col("v"), col("v").as("l"))
-      .localCheckpoint()
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25,
+      checkEvery: Int = 2,
+      materialize: (DataFrame, String) => DataFrame =
+        (df, _) => df.localCheckpoint()): DataFrame = {
+    require(checkEvery >= 1, "checkEvery must be >= 1")
+    val edges = materialize(
+      pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .union(pairs.select(col("d2").as("a"), col("d1").as("b"))), "cc_edges")
+    var labels = materialize(
+      edges.select(col("a").as("v")).distinct()
+        .select(col("v"), col("v").as("l")), "cc_round_0")
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -300,14 +311,18 @@ object Dedup {
         .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
       // pointer jump: l(v) ← l(l(v)) — labels only ever decrease, so chasing
       // one hop toward the minimum is always sound and doubles the reach
-      val next = prop.as("x")
+      val next = materialize(prop.as("x")
         .join(prop.select(col("v").as("v2"), col("l").as("l2")).as("y"),
               col("x.l") === col("y.v2"), "left_outer")
-        .select(col("x.v").as("v"), least(col("x.l"), coalesce(col("y.l2"), col("x.l"))).as("l"))
-        .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.select(col("v").as("v0"), col("l").as("l0")), col("v") === col("v0"))
-        .filter(col("l") =!= col("l0")).isEmpty
+        .select(col("x.v").as("v"), least(col("x.l"), coalesce(col("y.l2"), col("x.l"))).as("l")),
+        s"cc_round_${i + 1}")
+      // the convergence check is one driver-blocking action over the two
+      // compact label tables; checking every `checkEvery`-th round amortizes
+      // it (at most checkEvery-1 extra cheap rounds after the fixpoint)
+      if ((i + 1) % checkEvery == 0 || i + 1 == maxIters)
+        converged = next.as("n")
+          .join(labels.select(col("v").as("v0"), col("l").as("l0")), col("v") === col("v0"))
+          .filter(col("l") =!= col("l0")).isEmpty
       labels = next
       i += 1
     }
@@ -320,8 +335,10 @@ object Dedup {
     * the deterministic representative (the component's min doc_id) — dropping
     * keep=0 rows removes every redundant copy of an N-way duplicate group
     * while keeping exactly one. */
-  def clustersFor(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val cc = connectedComponents(pairs)
+  def clustersFor(docs: DataFrame, pairs: DataFrame,
+      ccMaterialize: (DataFrame, String) => DataFrame =
+        (df, _) => df.localCheckpoint()): DataFrame = {
+    val cc = connectedComponents(pairs, materialize = ccMaterialize)
     docs.select(col("doc_id"))
       .join(cc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),

@@ -148,6 +148,15 @@ class CurationPipelineSpec extends AnyFunSuite {
         .run(spark, corpus, evalDocs = Some(evalSet), durableSignatures = true)
         .orderBy("doc_id").collect().map(_.toString).toSeq
     val first = run(resume = false)
+    // durableSignatures routes every CC round through TableIO: verify the
+    // rounds are on disk, then kill ACROSS a round boundary (drop the last
+    // committed round and everything after) — resume must pick up from the
+    // surviving rounds and reproduce the identical output
+    val ccRounds = io.list(spark, "").filter(_.startsWith("c3_cc_round_"))
+    assert(ccRounds.size >= 2, s"expected durable CC rounds, got $ccRounds")
+    val lastRound = ccRounds.map(_.stripPrefix("c3_cc_round_").toInt).max
+    io.drop(spark, s"c3_cc_round_$lastRound")
+    io.drop(spark, "c3_neardup_collapse")
     io.drop(spark, "c4_decontaminated"); io.drop(spark, "c5_redacted"); io.drop(spark, "c6_packed")
     assert(run(resume = true) == first && first.nonEmpty)
   }
