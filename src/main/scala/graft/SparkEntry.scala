@@ -119,6 +119,7 @@ object SparkEntry {
     "sample_mix"         -> Sampling.weightedMix _,
     "sample_split"       -> Sampling.trainValTestSplit _,
     "pack_sequences"     -> Packing.packDocuments _,
+    "pack_chunks"        -> Packing.packChunks _,
     // corpus curation: decontamination, redaction, license detection
     "cur_decontaminate"  -> Curation.decontaminateDocs _,
     "cur_redact"         -> Curation.redactDocs _,
@@ -795,6 +796,28 @@ object SparkEntry {
         |SELECT doc_id, shard, pos,
         |       shard * 1000000000000 + CAST(floor(pos / 1024) AS BIGINT) AS pack_id
         |FROM r""".stripMargin,
+    // chunk rows: one row per (doc, pack) overlap — a doc straddling a pack
+    // boundary splits into explicit (offset_in_doc, chunk_len) pieces that
+    // tile the document (lens sum to toks; property-tested in PackingSpec)
+    "pack_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS toks,
+        |         doc_id % 8 AS shard, md5('e1_' || CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, shard, toks,
+        |         CAST(sum(toks) OVER (PARTITION BY shard ORDER BY ord, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS BIGINT) AS pos
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, shard, pos, toks,
+        |         CAST(unnest(range(CASE WHEN toks > 0 THEN (pos + toks - 1) // 1024 - pos // 1024 + 1 ELSE 1 END)) AS BIGINT) AS ci
+        |  FROM r)
+        |SELECT doc_id,
+        |  shard * 1000000000000 + pos // 1024 + ci AS pack_id,
+        |  greatest(pos, (pos // 1024 + ci) * 1024) - pos AS offset_in_doc,
+        |  least(pos + toks, (pos // 1024 + ci + 1) * 1024) - greatest(pos, (pos // 1024 + ci) * 1024) AS chunk_len
+        |FROM c""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
         |  lower(substr(hex(encode(text)), 1, 32)) AS head_hex,

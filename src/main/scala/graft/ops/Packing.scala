@@ -60,14 +60,47 @@ object Packing {
         col("shard") * lit(PacksPerShard) + floor(col("pos") / budget))
   }
 
-  // --- operator query (driver contract): pack `documents` by whitespace
-  // token count into 1024-token bins across 8 shards.
+  /** Explicit chunk rows for [[pack]] output: a document whose token run
+    * [pos, pos+toks) crosses pack boundaries (multiples of `budget` in its
+    * shard's concat stream) straddles several packs — this emits one row per
+    * (document, pack) overlap with the document-relative offset and length,
+    * so a tokenizer can split the document WITHOUT re-deriving offsets:
+    * chunk j of a doc covers tokens [offset_in_doc, offset_in_doc+chunk_len).
+    * Invariant (property-tested + oracled): per doc, chunks tile the
+    * document — offsets contiguous from 0, lens sum to toks. Zero-token
+    * docs emit one empty chunk so every packed doc appears. Pure in-row
+    * arithmetic over the pack assignment (no extra shuffle). */
+  def chunks(packed: DataFrame, tokens: Column, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val p0 = floor(col("pos") / budget)
+    val pEnd = floor((col("pos") + tokens - 1) / budget)
+    val nChunks = when(tokens > 0, pEnd - p0 + 1).otherwise(1L)
+    val start = greatest(col("pos"), (p0 + col("ci")) * budget)
+    val end = least(col("pos") + tokens, (p0 + col("ci") + 1) * budget)
+    packed
+      .withColumn("ci", explode(sequence(lit(0L), nChunks - 1)))
+      .withColumn("pack_id", col("pack_id") + col("ci"))
+      .withColumn("offset_in_doc", start - col("pos"))
+      .withColumn("chunk_len", end - start)
+      .drop("ci")
+  }
 
-  def packDocuments(spark: SparkSession, dir: String): DataFrame = {
+  // --- operator queries (driver contract): pack `documents` by whitespace
+  // token count into 1024-token bins across 8 shards; chunk rows for the
+  // tokenizer-facing layout.
+
+  private def packedDocuments(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("toks"))
     pack(docs, col("doc_id"), col("toks"), budget = 1024, shards = 8, seed = "e1")
-      .select(col("doc_id"), col("shard"), col("pos"), col("pack_id"))
   }
+
+  def packDocuments(spark: SparkSession, dir: String): DataFrame =
+    packedDocuments(spark, dir)
+      .select(col("doc_id"), col("shard"), col("pos"), col("pack_id"))
+
+  def packChunks(spark: SparkSession, dir: String): DataFrame =
+    chunks(packedDocuments(spark, dir), col("toks"), budget = 1024)
+      .select(col("doc_id"), col("pack_id"), col("offset_in_doc"), col("chunk_len"))
 }

@@ -42,6 +42,39 @@ class PackingSpec extends AnyFunSuite {
     assert(spans.forall(_.getLong(1) < 16), "a pack's start offsets span past the budget")
   }
 
+  test("chunks tile every document: contiguous offsets, lens sum to toks, budget-aligned") {
+    // toks 1..7 with budget 16 → many docs straddle pack boundaries
+    val packed = Packing.pack(toyDocs(500), col("id"), col("toks"),
+      budget = 16, shards = 4, seed = "e1")
+    val rows = Packing.chunks(packed, col("toks"), budget = 16)
+      .select("id", "toks", "pos", "pack_id", "offset_in_doc", "chunk_len")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (id, ch) =>
+      val toks = ch.head._2
+      val sorted = ch.sortBy(_._5)
+      // chunks tile the document: offsets contiguous from 0, lens sum to toks
+      assert(sorted.head._5 == 0, s"doc $id first chunk must start at offset 0")
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, _, o1, l1), (_, _, _, _, o2, _)) =>
+          assert(o2 == o1 + l1, s"doc $id chunks not contiguous")
+        case _ =>
+      }
+      assert(sorted.map(_._6).sum == toks, s"doc $id chunk lens must sum to toks")
+      // consecutive chunks land in consecutive packs, each chunk inside its
+      // pack's [p*budget, (p+1)*budget) window of the shard stream
+      sorted.zipWithIndex.foreach { case ((_, _, pos, packId, off, len), j) =>
+        assert(packId == sorted.head._4 + j)
+        val packLo = (packId % Packing.PacksPerShard) * 16
+        assert(pos + off >= packLo && (len == 0 || pos + off + len <= packLo + 16),
+          s"doc $id chunk $j outside its pack window")
+      }
+    }
+    // the straddle case actually occurs in the fixture
+    assert(rows.groupBy(_._1).exists(_._2.length > 1), "fixture must contain straddling docs")
+  }
+
   test("a new seed is a new deterministic epoch order") {
     def packsFor(seed: String) =
       Packing.pack(toyDocs(300), col("id"), col("toks"), 16, 4, seed)
