@@ -19,6 +19,10 @@ object Fixtures {
   val GoldParquet: String  = s"$Root/gold_parquet"
   val GoldCsv: String      = s"$Root/gold_csv"
   val KbCtxParquet: String = s"$Root/kbctx_parquet"
+  /** 500 synthetic source files WITH real comment/import lines (4 language
+    * grammars) — the stored corpus the E3/E4/E7 extractor parity queries run
+    * the production grammars against. */
+  val SrcCorpusParquet: String = s"$Root/src_corpus_parquet"
 
   @volatile private var done = false
 
@@ -38,6 +42,9 @@ object Fixtures {
         tmp => gold.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp))
       writeIfMissing(spark, KbCtxParquet,
         tmp => kg.CorpusGen.kbContexts(spark).toDF()
+          .coalesce(2).write.mode("overwrite").parquet(tmp))
+      writeIfMissing(spark, SrcCorpusParquet,
+        tmp => kg.CorpusGen.srcFiles(spark, 500).toDF()
           .coalesce(2).write.mode("overwrite").parquet(tmp))
       done = true
     }

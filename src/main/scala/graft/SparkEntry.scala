@@ -161,6 +161,42 @@ object SparkEntry {
   )
 
   private val C = DocOps.SrcFilesCte
+  /** Shared line-exploded view of the stored src-corpus fixture (real
+    * comment/import lines; the production-extractor parity queries E3/E4/E7
+    * and their oracles both read these files). */
+  private val FixLines =
+    s"""fsrc AS (SELECT repo, path, lang, content FROM read_parquet('${Fixtures.SrcCorpusParquet}/*.parquet')),
+       |flines AS (SELECT repo, path, lang,
+       |             CAST(unnest(range(len(string_split(content, chr(10))))) AS INT) AS line_no,
+       |             unnest(string_split(content, chr(10))) AS line
+       |           FROM fsrc)""".stripMargin
+  private val KeywordsSql = graft.kg.Extract.Keywords.map(k => s"'$k'").mkString(",")
+  /** The three production extractor grammars in SQL (mirroring kg.Extract:
+    * comment gate wins over import; idents only from code lines, minus the
+    * keyword stoplist; per-lang import target, last path segment). */
+  private val FixExtractors =
+    s"""cm AS (SELECT repo, path, line_no, line FROM flines WHERE regexp_matches(line, '^\\s*(//|#)')),
+       |dcm AS (SELECT DISTINCT repo, path, line_no,
+       |          unnest(regexp_extract_all(line, '[A-Z][a-z0-9]*(?:[A-Z][A-Za-z0-9]*)+')) AS surface
+       |        FROM cm),
+       |codeln AS (SELECT repo, path, line_no, line FROM flines
+       |           WHERE NOT regexp_matches(line, '^\\s*(//|#)')
+       |             AND NOT regexp_matches(line, '^\\s*(import|from)\\s|require\\(')),
+       |idn0 AS (SELECT repo, path, line_no,
+       |           unnest(regexp_extract_all(line, '[A-Za-z_][A-Za-z0-9_]{2,}')) AS surface
+       |         FROM codeln),
+       |idn AS (SELECT DISTINCT repo, path, line_no, surface FROM idn0
+       |        WHERE surface NOT IN ($KeywordsSql)),
+       |iml AS (SELECT repo, path, lang, line_no, line FROM flines
+       |        WHERE regexp_matches(line, '^\\s*(import|from)\\s|require\\(')
+       |          AND NOT regexp_matches(line, '^\\s*(//|#)')),
+       |imt AS (SELECT repo, path, line_no,
+       |          CASE WHEN lang IN ('scala','java') THEN regexp_extract(line, '^\\s*import\\s+([A-Za-z0-9_.]+)', 1)
+       |               WHEN lang = 'python' THEN regexp_extract(line, '^\\s*from\\s+[A-Za-z0-9_.]+\\s+import\\s+([A-Za-z0-9_.]+)', 1)
+       |               ELSE regexp_extract(line, 'require\\(''kb/([A-Za-z0-9_./]+)''\\)', 1) END AS target
+       |        FROM iml),
+       |imp AS (SELECT repo, path, line_no, regexp_extract(target, '([A-Za-z0-9_]+)$$', 1) AS surface
+       |        FROM imt)""".stripMargin
   private val T = RelOps.TermsCte
   private val M = RelOps.MentionsCte
   private val K = RelOps.KbCte
@@ -241,16 +277,13 @@ object SparkEntry {
          |ex AS (SELECT doc_id, repo, path, unnest(regexp_extract_all(lower(content), '[a-z_][a-z0-9_]{2,}')) AS surface FROM src_files)
          |SELECT doc_id, repo, path, surface FROM ex WHERE surface NOT IN ('the','and','for','not')""".stripMargin,
     "e3_doccomments" ->
-      s"""WITH $C,
-         |c AS (SELECT doc_id, '// ' || content AS line FROM src_files WHERE doc_id % 2 = 0),
-         |cm AS (SELECT doc_id, regexp_extract(line, '^// (.*)$$', 1) AS comment FROM c),
-         |f AS (SELECT doc_id, comment FROM cm WHERE length(comment) > 0)
-         |SELECT doc_id, unnest(regexp_extract_all(lower(comment), '[a-z_][a-z0-9_]{2,}')) AS surface FROM f""".stripMargin,
+      s"""WITH $FixLines,
+         |$FixExtractors
+         |SELECT repo, path, line_no, surface FROM dcm""".stripMargin,
     "e4_imports" ->
-      s"""WITH $C,
-         |c AS (SELECT doc_id, 'import pkg' || CAST(doc_id % 5 AS VARCHAR) || '.mod' || CAST(doc_id % 3 AS VARCHAR) AS line FROM src_files WHERE doc_id % 3 = 0),
-         |t AS (SELECT doc_id, regexp_extract(line, '^import ([a-z0-9_.]+)', 1) AS target FROM c)
-         |SELECT doc_id, target FROM t WHERE length(target) > 0""".stripMargin,
+      s"""WITH $FixLines,
+         |$FixExtractors
+         |SELECT repo, path, line_no, surface FROM imp WHERE length(surface) > 0""".stripMargin,
     "e5_normalize" ->
       s"""WITH $C,
          |ex AS (SELECT unnest(regexp_extract_all(lower(content), '[a-z_][a-z0-9_]{2,}')) AS term FROM src_files),
@@ -268,13 +301,11 @@ object SparkEntry {
          |  concat_ws(' ', lag(word,2) OVER win, lag(word,1) OVER win, lead(word,1) OVER win, lead(word,2) OVER win) AS ctx
          |FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)""".stripMargin,
     "e7_union_extractors" ->
-      s"""WITH $C,
-         |i AS (SELECT doc_id, surface FROM (SELECT doc_id, unnest(regexp_extract_all(lower(content), '[a-z_][a-z0-9_]{2,}')) AS surface FROM src_files) WHERE surface NOT IN ('the','and','for','not')),
-         |dc AS (SELECT doc_id, unnest(regexp_extract_all(lower(regexp_extract('// ' || content, '^// (.*)$$', 1)), '[a-z_][a-z0-9_]{2,}')) AS surface FROM src_files WHERE doc_id % 2 = 0),
-         |im AS (SELECT doc_id, regexp_extract('import pkg' || CAST(doc_id % 5 AS VARCHAR) || '.mod' || CAST(doc_id % 3 AS VARCHAR), '^import ([a-z0-9_.]+)', 1) AS surface FROM src_files WHERE doc_id % 3 = 0)
-         |SELECT doc_id, surface, 'ident' AS kind FROM i
-         |UNION ALL SELECT doc_id, surface, 'doccomment' AS kind FROM dc
-         |UNION ALL SELECT doc_id, surface, 'import' AS kind FROM im WHERE length(surface) > 0""".stripMargin,
+      s"""WITH $FixLines,
+         |$FixExtractors
+         |SELECT repo, path, line_no, 'ident' AS kind, surface FROM idn
+         |UNION ALL SELECT repo, path, line_no, 'doccomment' AS kind, surface FROM dcm
+         |UNION ALL SELECT repo, path, line_no, 'import' AS kind, surface FROM imp WHERE length(surface) > 0""".stripMargin,
     "e8_mention_id" ->
       s"""WITH $C,
          |parts AS (SELECT doc_id, repo, path, "commit", string_split(content, ' ') AS p FROM src_files),

@@ -88,30 +88,27 @@ object DocOps {
               explode(tokens(col("content"))).as("surface"))
       .filter(!col("surface").isin(Stoplist: _*))
 
-  /** E3: doc-comment entity extractor. The testdata corpus has no comments, so
-    * rows with even doc_id are framed as `// ...` comment lines; the extractor
-    * (comment grammar regexp, then tokenize) is what is under test. */
-  def e3DocComments(spark: SparkSession, dir: String): DataFrame = {
-    val src = srcFiles(spark, dir).filter(col("doc_id") % 2 === 0)
-    val commented = src.select(col("doc_id"),
-      concat(lit("// "), col("content")).as("line"))
-    commented
-      .select(col("doc_id"),
-              regexp_extract(col("line"), "^// (.*)$", 1).as("comment"))
-      .filter(length(col("comment")) > 0)
-      .select(col("doc_id"), explode(tokens(col("comment"))).as("surface"))
+  /** The PRODUCTION mention extractor ([[graft.kg.Extract]]: comment-line
+    * gate, per-lang import grammars, CamelCase doc-comment entities, keyword
+    * stoplist) run over the STORED synthetic code-corpus fixture — real
+    * comment/import lines read back from parquet, the same files the DuckDB
+    * oracle scans. Replaces the old parity rows that string-concatenated
+    * their comment/import lines inside the query. */
+  private def fixtureMentions(spark: SparkSession): DataFrame = {
+    graft.Fixtures.ensure(spark)
+    graft.kg.Extract.mentions(spark.read.parquet(graft.Fixtures.SrcCorpusParquet))
+      .withColumnRenamed("line", "line_no")
   }
 
-  /** E4: import/dependency extractor — per-lang import grammar regexp. */
+  /** E3: doc-comment entity extractor (production grammar over stored files). */
+  def e3DocComments(spark: SparkSession, dir: String): DataFrame =
+    fixtureMentions(spark).filter(col("kind") === "doccomment")
+      .select(col("repo"), col("path"), col("line_no"), col("surface"))
+
+  /** E4: import/dependency extractor (per-lang grammars over stored files). */
   def e4Imports(spark: SparkSession, dir: String): DataFrame =
-    srcFiles(spark, dir)
-      .filter(col("doc_id") % 3 === 0)
-      .select(col("doc_id"),
-        concat(lit("import pkg"), (col("doc_id") % 5).cast("string"),
-               lit(".mod"), (col("doc_id") % 3).cast("string")).as("line"))
-      .select(col("doc_id"),
-              regexp_extract(col("line"), "^import ([a-z0-9_.]+)", 1).as("target"))
-      .filter(length(col("target")) > 0)
+    fixtureMentions(spark).filter(col("kind") === "import")
+      .select(col("repo"), col("path"), col("line_no"), col("surface"))
 
   /** E5: mention normalizer — camelCase/snake_case/dot fold to space-separated
     * lowercase. Runs as the native one-pass scan (the oracle SQL keeps the
@@ -137,13 +134,12 @@ object DocOps {
           lead(col("word"), 1).over(w), lead(col("word"), 2).over(w)).as("ctx"))
   }
 
-  /** E7/U1: union of the three extractors with a kind discriminator. */
-  def e7Union(spark: SparkSession, dir: String): DataFrame = {
-    val idents = e2Identifiers(spark, dir).select(col("doc_id"), col("surface"), lit("ident").as("kind"))
-    val docs   = e3DocComments(spark, dir).select(col("doc_id"), col("surface"), lit("doccomment").as("kind"))
-    val imps   = e4Imports(spark, dir).select(col("doc_id"), col("target").as("surface"), lit("import").as("kind"))
-    idents.unionByName(docs).unionByName(imps)
-  }
+  /** E7/U1: the three production extractors' union — [[fixtureMentions]]
+    * already computes it as one per-line struct array (E7 without a union
+    * re-scan); this entry exposes the full (kind-discriminated) stream. */
+  def e7Union(spark: SparkSession, dir: String): DataFrame =
+    fixtureMentions(spark)
+      .select(col("repo"), col("path"), col("line_no"), col("kind"), col("surface"))
 
   /** E8: stable mention id (md5 here for oracle parity; the synthetic-corpus
     * pipeline uses xxhash64 internally, see graft.kg). */
