@@ -77,8 +77,11 @@ object Dedup {
     * near-dedup), not to quadratic band pairing. */
   val DefaultMaxBucket = 1000
 
-  /** Per-doc LSH band signatures (4 bands × 2 minhash rows). */
-  private def bandSignaturesFor(docs: DataFrame): DataFrame =
+  /** Per-doc LSH band signatures (4 bands × 2 minhash rows) — the per-byte
+    * half of near-dup discovery (everything downstream is compact): public
+    * so pipelines can checkpoint/compose the signature table (delta mode
+    * recomputes signatures for CHANGED docs only and composes the rest). */
+  def bandSignaturesFor(docs: DataFrame): DataFrame =
     minhashSignaturesFor(docs)
       .withColumn("band", shiftright(col("seed"), 1))
       .groupBy(col("doc_id"), col("band"))
@@ -131,8 +134,14 @@ object Dedup {
     * [[minhashPairsFor]] with the same cap, which is semantically identical
     * and fully lazy. */
   def minhashPairsGuarded(docs: DataFrame, maxBucket: Int = DefaultMaxBucket,
-                          materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
-    val sigs = materialize(bandSignaturesFor(docs))
+                          materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame =
+    minhashPairsGuardedFromSigs(materialize(bandSignaturesFor(docs)), maxBucket)
+
+  /** The guarded pair join over an already-materialized (or composed —
+    * delta mode) signature table: measures + logs what the cap excluded,
+    * then pairs. Same eager-measurement caveat as [[minhashPairsGuarded]]. */
+  def minhashPairsGuardedFromSigs(sigs: DataFrame,
+                                  maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val hot = sigs
       .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)
@@ -183,8 +192,12 @@ object Dedup {
     * recurrence. One hash-groupBy (partial agg applies) + one equi-join back
     * on the high-cardinality hash — no window over the corpus, no skew key.
     * Rows with keep = 0 are the strip set [[stripSpans]] consumes. */
-  def dupSpans(docs: DataFrame, n: Int = 10, stride: Int = 10): DataFrame = {
-    val h = spanHashes(docs, n, stride)
+  def dupSpans(docs: DataFrame, n: Int = 10, stride: Int = 10): DataFrame =
+    spanDecisionsFromHashes(spanHashes(docs, n, stride), n)
+
+  /** Keep/strip decisions from an (already-computed or delta-composed) span
+    * hash table — the compact corpus-global half of substring dedup. */
+  def spanDecisionsFromHashes(h: DataFrame, n: Int): DataFrame = {
     val firsts = h.groupBy(col("span_hash"))
       .agg(min(struct(col("doc_id"), col("span_start"))).as("first"),
            count(lit(1)).as("n_occurrences"))
