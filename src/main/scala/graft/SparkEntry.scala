@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Curation, Dedup, DocOps, Multimodal, Packing, RelOps, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, DocOps, GraphOps, Multimodal, Packing, RelOps, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -112,6 +112,13 @@ object SparkEntry {
     "text_fingerprint"   -> TextAnalysis.fingerprint _,
     "text_token_hist"    -> TextAnalysis.tokenHistogram _,
     "text_repetition"    -> TextAnalysis.repetition _,
+    "text_lm_score"      -> TextAnalysis.lmScore _,
+    // graph analytics over materialized triples (G1–G4): degree profile,
+    // fixed-point PageRank, 2-hop reachability, co-occurrence PMI
+    "kg_degree"          -> GraphOps.degree _,
+    "kg_pagerank"        -> ((s: SparkSession, dir: String) => GraphOps.pagerank(s, dir)),
+    "kg_two_hop"         -> GraphOps.twoHop _,
+    "kg_pmi"             -> GraphOps.pmi _,
     // deterministic sampling (hash-keyed, reproducible on any cluster size)
     "sample_hash"        -> Sampling.hashSample _,
     "sample_stratified"  -> Sampling.stratifiedSample _,
@@ -207,6 +214,19 @@ object SparkEntry {
       |shv AS (SELECT doc_id, shingle FROM (
       |  SELECT doc_id, word || ' ' || lead(word,1) OVER win || ' ' || lead(word,2) OVER win AS shingle
       |  FROM wpos WINDOW win AS (PARTITION BY doc_id ORDER BY pos)) WHERE shingle IS NOT NULL)""".stripMargin
+  /** Shared KG edge-table CTE — mirrors [[graft.ops.GraphOps.edges]]:
+    * order-[placed_by]->cust-[located_in]->nation-[part_of]->region plus
+    * supp-[located_in]->nation, namespaced string node ids. */
+  private val Edges =
+    """edges AS (
+      |  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS src, 'part_of' AS pred,
+      |         'region:' || CAST(n_regionkey AS VARCHAR) AS dst FROM nation
+      |  UNION ALL SELECT 'cust:' || CAST(c_custkey AS VARCHAR), 'located_in',
+      |         'nation:' || CAST(c_nationkey AS VARCHAR) FROM customer
+      |  UNION ALL SELECT 'supp:' || CAST(s_suppkey AS VARCHAR), 'located_in',
+      |         'nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+      |  UNION ALL SELECT 'order:' || CAST(o_orderkey AS VARCHAR), 'placed_by',
+      |         'cust:' || CAST(o_custkey AS VARCHAR) FROM orders)""".stripMargin
   /** Shared relational embedding CTE (vec exploded to (vec_id, pos, x)). */
   private val EmbEx =
     """ex AS (SELECT vec_id, CAST(unnest(range(len(embedding))) AS INT) AS pos, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
@@ -877,6 +897,62 @@ object SparkEntry {
       """SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
         |       event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // graph analytics (G1–G4) over the deterministic KG edge table derived
+    // from the stored relational testdata (GraphOps.edges)
+    "kg_degree" ->
+      s"""WITH $Edges,
+         |d AS (SELECT src AS node, 1 AS o, 0 AS i FROM edges
+         |      UNION ALL SELECT dst, 0, 1 FROM edges)
+         |SELECT node, CAST(sum(o) AS BIGINT) AS out_deg, CAST(sum(i) AS BIGINT) AS in_deg
+         |FROM d GROUP BY node""".stripMargin,
+    // fixed-point PageRank, 3 unrolled exact-integer rounds (micro-units,
+    // d = 17/20; `//` is BIGINT floor division ≡ Spark's `div` on the
+    // non-negative ranks) — float PageRank would be sum-order-dependent
+    "kg_pagerank" ->
+      s"""WITH $Edges,
+         |e AS (SELECT src, dst FROM edges),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+         |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+         |c1 AS (SELECT e.dst, sum(r.pr // od.outdeg) AS s FROM e JOIN od ON e.src = od.src JOIN r0 r ON e.src = r.node GROUP BY e.dst),
+         |r1 AS (SELECT n.node, CAST(150000 + (17 * coalesce(c.s, 0)) // 20 AS BIGINT) AS pr FROM nodes n LEFT JOIN c1 c ON n.node = c.dst),
+         |c2 AS (SELECT e.dst, sum(r.pr // od.outdeg) AS s FROM e JOIN od ON e.src = od.src JOIN r1 r ON e.src = r.node GROUP BY e.dst),
+         |r2 AS (SELECT n.node, CAST(150000 + (17 * coalesce(c.s, 0)) // 20 AS BIGINT) AS pr FROM nodes n LEFT JOIN c2 c ON n.node = c.dst),
+         |c3 AS (SELECT e.dst, sum(r.pr // od.outdeg) AS s FROM e JOIN od ON e.src = od.src JOIN r2 r ON e.src = r.node GROUP BY e.dst),
+         |r3 AS (SELECT n.node, CAST(150000 + (17 * coalesce(c.s, 0)) // 20 AS BIGINT) AS pr FROM nodes n LEFT JOIN c3 c ON n.node = c.dst)
+         |SELECT node, pr FROM r3""".stripMargin,
+    "kg_two_hop" ->
+      s"""WITH $Edges,
+         |seeds AS (SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS seed FROM region),
+         |h1 AS (SELECT s.seed, e.src AS mid FROM edges e JOIN seeds s ON e.dst = s.seed),
+         |h2 AS (SELECT DISTINCT h.seed, e.src AS node FROM edges e JOIN h1 h ON e.dst = h.mid)
+         |SELECT seed, CAST(count(*) AS BIGINT) AS n_two_hop FROM h2 GROUP BY seed""".stripMargin,
+    "kg_pmi" ->
+      s"""WITH $T, $M, $K,
+         |dt AS (SELECT DISTINCT m.doc_id, k.label AS term FROM mentions m JOIN kb k ON m.surface = k.label),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |pairs AS (SELECT a.term AS t1, b.term AS t2, CAST(count(*) AS BIGINT) AS co
+         |          FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+         |          GROUP BY a.term, b.term),
+         |marg AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY term)
+         |SELECT p.t1, p.t2, p.co, m1.df AS df1, m2.df AS df2,
+         |  round(log2(CAST(p.co AS DOUBLE) * nd.n / (CAST(m1.df AS DOUBLE) * m2.df)), 6) AS pmi
+         |FROM pairs p JOIN marg m1 ON p.t1 = m1.term JOIN marg m2 ON p.t2 = m2.term CROSS JOIN nd""".stripMargin,
+    // add-one-smoothed bigram LM self-scoring: exact BIGINT counts, the
+    // only floats are the final log2/avg (rounded to 6 dp)
+    "text_lm_score" ->
+      """WITH tp AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z_][a-z0-9_]{2,}') AS ts FROM documents),
+        |tpos AS (SELECT doc_id, CAST(unnest(range(len(ts))) AS INT) AS pos, unnest(ts) AS term FROM tp),
+        |bgn AS (SELECT doc_id, w1, w2 FROM (
+        |          SELECT doc_id, term AS w1, lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tpos)
+        |        WHERE w2 IS NOT NULL),
+        |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bgn GROUP BY w1, w2),
+        |cu AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw FROM cb GROUP BY w1),
+        |vv AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM tpos)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(-log2((c.c + 1.0) / (u.cw + vv.v))), 6) AS avg_nll
+        |FROM bgn b JOIN cb c ON b.w1 = c.w1 AND b.w2 = c.w2 JOIN cu u ON b.w1 = u.w1 CROSS JOIN vv
+        |GROUP BY b.doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
         |  round(sum(l_extendedprice * (1.0 - l_discount)),2) AS sum_disc_price,

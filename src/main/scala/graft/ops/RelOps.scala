@@ -32,7 +32,7 @@ object RelOps {
       .select(col("doc_id"), explode(DocOps.tokens(col("content"))).as("term"))
 
   /** Mentions = identifier tokens minus the stoplist (same shape as E2). */
-  private def mentions(spark: SparkSession, dir: String): DataFrame =
+  private[ops] def mentions(spark: SparkSession, dir: String): DataFrame =
     docTerms(spark, dir)
       .filter(!col("term").isin(DocOps.Stoplist: _*))
       .withColumnRenamed("term", "surface")

@@ -113,4 +113,53 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(min(md5(col("shingle"))).as("fingerprint"),
            countDistinct(col("shingle")).as("n_shingles"))
+
+  /** N-gram language-model quality score (the KenLM-style perplexity filter
+    * every web-scale curation stack runs): train an add-one-smoothed bigram
+    * model ON the corpus itself, then score each document by its mean
+    * negative log2 bigram probability — templated/predictable text scores
+    * low, lexically incoherent text scores high.
+    *
+    * Shape, and why it holds at 100 TB:
+    *  - bigrams are assembled IN-ROW (zip each token array with its own
+    *    tail — no window, no per-token exchange), then exploded once;
+    *  - the model is two aggregations over that stream: bigram counts and
+    *    (derived from them, one more partial agg) history counts — both
+    *    Zipf-bounded vocabulary tables, orders of magnitude smaller than
+    *    the corpus;
+    *  - scoring joins the per-doc bigram stream to the model on the bigram
+    *    key — a shuffle hash join whose build side is the model table; the
+    *    stopword-bigram skew on the probe side is exactly what AQE's
+    *    skew-join handles (and the key could be salted like J2 if measured
+    *    hot). History counts ride along via one more vocabulary-sized join;
+    *  - per-doc reduction is a partial-agg sum/count.
+    * The only floats are the final log2s: each engine computes the same
+    * (c+1)/(cw+V) rationals from exact BIGINT counts, and the per-doc mean
+    * is rounded to 6 dp (sum-order error ~1e-13 — far below the boundary). */
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScoreFor(Tables.documents(spark, dir))
+
+  def lmScoreFor(docs: DataFrame): DataFrame = {
+    val toks = DocOps.tokens(col("text"))
+    // zip_with pads the shorter side with null and concat propagates null,
+    // so the trailing (last-token, null) pair drops out in the filter.
+    val bigrams = filter(
+      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+               (a, b) => concat(a, lit(" "), b)),
+      g => g.isNotNull)
+    val docBi = docs.select(col("doc_id"), explode(bigrams).as("bg"))
+    val cb = docBi.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val cu = cb.groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c")).as("cw"))
+    val v = docs.select(explode(DocOps.tokens(col("text"))).as("term"))
+      .agg(countDistinct(col("term")).as("v"))
+    docBi
+      .join(cb, "bg")
+      .join(cu, split(col("bg"), " ").getItem(0) === col("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           round(avg(-log2((col("c") + lit(1)).cast("double") /
+                           (col("cw") + col("v")))), 6).as("avg_nll"))
+  }
 }

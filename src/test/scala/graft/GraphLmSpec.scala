@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{GraphOps, TextAnalysis}
+
+/** Graph analytics (G1–G4) + bigram-LM scoring: hand-computed fixed-point
+  * values on a tiny graph, an independent reformulation of 2-hop over the
+  * raw tables, and ordering/self-consistency properties for PMI and the LM
+  * score. (DuckDB hash equality is the driver's gate; these pin the
+  * semantics independently of the oracle SQL.)
+  */
+class GraphLmSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("fixed-point pagerank matches hand computation on a 3-node cycle") {
+    // A→B, A→C, B→C, C→A; pr0 = 1e6 each; d = 17/20, all integer division.
+    val e = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("C", "A")).toDF("src", "dst")
+    val r1 = GraphOps.pagerankOf(e, iters = 1).as[(String, Long)].collect().toMap
+    assert(r1 == Map("A" -> 1000000L, "B" -> 575000L, "C" -> 1425000L))
+    val r2 = GraphOps.pagerankOf(e, iters = 2).as[(String, Long)].collect().toMap
+    // A: 150000 + 17*1425000/20 = 1361250; B: A/2 again = 575000;
+    // C: 150000 + 17*(500000 + 575000)/20 = 1063750
+    assert(r2 == Map("A" -> 1361250L, "B" -> 575000L, "C" -> 1063750L))
+  }
+
+  test("pagerank is invariant under shuffle-partition count (exact integers)") {
+    val a = GraphOps.pagerank(spark, sf).as[(String, Long)].collect().toMap
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = GraphOps.pagerank(spark, sf).as[(String, Long)].collect().toMap
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("degree sums: total out = total in = edge count; dangling shapes hold") {
+    val deg = GraphOps.degree(spark, sf)
+    val (o, i) = deg.agg(sum("out_deg"), sum("in_deg")).as[(Long, Long)].head()
+    val nEdges = GraphOps.edges(spark, sf).count()
+    assert(o == nEdges && i == nEdges)
+    // orders are pure sources (in=0), regions pure sinks (out=0)
+    assert(deg.filter(col("node").startsWith("order:") && col("in_deg") =!= 0).isEmpty)
+    assert(deg.filter(col("node").startsWith("region:") && col("out_deg") =!= 0).isEmpty)
+  }
+
+  test("two-hop from regions == distinct customers+suppliers of the region's nations") {
+    val expected = {
+      val nation = Tables.nation(spark, sf)
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val cust = Tables.customer(spark, sf).select(col("c_nationkey").as("nk"))
+      val supp = Tables.supplier(spark, sf).select(col("s_nationkey").as("nk"))
+      cust.unionAll(supp).join(nation, col("nk") === col("n_nationkey"))
+        .groupBy(col("n_regionkey")).agg(count(lit(1)).as("n"))
+        .select(concat(lit("region:"), col("n_regionkey").cast("string")), col("n"))
+        .as[(String, Long)].collect().toMap
+    }
+    val got = GraphOps.twoHop(spark, sf).as[(String, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("pmi self-consistency: ordered pairs, co <= min(df), pmi recomputed from counts") {
+    val rows = GraphOps.pmi(spark, sf)
+      .select(col("t1"), col("t2"), col("co"), col("df1"), col("df2"), col("pmi"))
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sf).count()
+    rows.foreach { case (t1, t2, co, df1, df2, pmi) =>
+      assert(t1 < t2)
+      assert(co <= math.min(df1, df2))
+      val expected = math.log(co.toDouble * nDocs / (df1.toDouble * df2)) / math.log(2)
+      assert(math.abs(pmi - expected) < 1e-5, s"($t1,$t2)")
+    }
+  }
+
+  test("lm score: templated text scores more predictable than unique text") {
+    // 20 documents sharing one template (the model learns their bigrams,
+    // counts ~20) vs one document of unique never-repeated token sequences.
+    val template = (1 to 30).map(i => s"alpha_${i % 3} beta_${i % 3}").mkString(" ")
+    val unique = (1 to 60).map(i => s"only_once_$i").mkString(" ")
+    val docs = ((1 to 20).map(i => (i.toLong, template)) :+ (99L, unique))
+      .toDF("doc_id", "text")
+    val scores = TextAnalysis.lmScoreFor(docs)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_nll"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(scores(1L)._3 < scores(99L)._3,
+      s"templated ${scores(1L)._3} should beat unique ${scores(99L)._3}")
+    // n_bigrams = tokens - 1
+    assert(scores(1L)._2 == 59L && scores(99L)._2 == 59L)
+    // single-token / empty docs drop out instead of emitting null scores
+    val tiny = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    assert(TextAnalysis.lmScoreFor(tiny).count() == 0)
+  }
+}
