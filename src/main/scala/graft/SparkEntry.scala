@@ -118,6 +118,7 @@ object SparkEntry {
     "kg_degree"          -> GraphOps.degree _,
     "kg_pagerank"        -> ((s: SparkSession, dir: String) => GraphOps.pagerank(s, dir)),
     "kg_two_hop"         -> GraphOps.twoHop _,
+    "kg_components"      -> GraphOps.components _,
     "kg_pmi"             -> GraphOps.pmi _,
     // deterministic sampling (hash-keyed, reproducible on any cluster size)
     "sample_hash"        -> Sampling.hashSample _,
@@ -921,6 +922,16 @@ object SparkEntry {
          |c3 AS (SELECT e.dst, sum(r.pr // od.outdeg) AS s FROM e JOIN od ON e.src = od.src JOIN r2 r ON e.src = r.node GROUP BY e.dst),
          |r3 AS (SELECT n.node, CAST(150000 + (17 * coalesce(c.s, 0)) // 20 AS BIGINT) AS pr FROM nodes n LEFT JOIN c3 c ON n.node = c.dst)
          |SELECT node, pr FROM r3""".stripMargin,
+    // undirected transitive closure per component (same recursive-CTE form
+    // as the dedup_clusters oracle); label = min reachable node id
+    "kg_components" ->
+      s"""WITH RECURSIVE $Edges,
+         |ue AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
+         |reach(v, l) AS (
+         |  SELECT DISTINCT a, a FROM ue
+         |  UNION
+         |  SELECT e.b, r.l FROM reach r JOIN ue e ON e.a = r.v)
+         |SELECT v AS node, min(l) AS component FROM reach GROUP BY v""".stripMargin,
     "kg_two_hop" ->
       s"""WITH $Edges,
          |seeds AS (SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS seed FROM region),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -49,15 +49,39 @@ object Dedup {
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("cnt"))
 
-  /** MinHash signatures: 8 permutations simulated as min(md5(shingle#seed)). */
+  /** The per-doc shingle ARRAY (what [[shinglesFor]] explodes), in-row. */
+  private[ops] def shingleArr(text: Column): Column = {
+    val ws = filter(split(text, " "), w => length(w) > 0)
+    transform(slice(ws, lit(1), greatest(size(ws) - 2, lit(0))),
+      (w, i) => concat_ws(" ", w, element_at(ws, i + 2), element_at(ws, i + 3)))
+  }
+
+  /** The 8 per-seed minhash minima computed IN-ROW: element s is
+    * min over the doc's shingles of md5(shingle#s) — the SAME values as the
+    * historical explode + groupBy(doc_id, seed) form (`array_min` and the
+    * `min` aggregate share UTF8String binary ordering, and md5 hex is
+    * ASCII), but with ZERO exchange: the shingle array never leaves its
+    * row, where the aggregation form shuffled shingles×8 seed rows across
+    * the cluster before the first reduction — the single largest exchange
+    * of the near-dup path at corpus scale. Elements are null iff the doc
+    * has no shingles (<3 words), mirroring the absent groups of the
+    * aggregation form. Also the streaming near-dup enabler: a stateless
+    * per-row expression needs no streaming aggregation state
+    * (graft.streaming.StreamingNearDedup). */
+  private[ops] def seedMinArr(sh: Column): Column =
+    transform(sequence(lit(0), lit(7)), s =>
+      array_min(transform(sh, x => md5(concat(x, lit("#"), s.cast("string"))))))
+
+  /** MinHash signatures: 8 permutations simulated as min(md5(shingle#seed)),
+    * computed in-row ([[seedMinArr]]) and exploded to the oracled
+    * (doc_id, seed, minhash) shape — a narrow generate, no aggregation. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     minhashSignaturesFor(Tables.documents(spark, dir))
 
   def minhashSignaturesFor(docs: DataFrame): DataFrame =
-    shinglesFor(docs)
-      .withColumn("seed", explode(sequence(lit(0), lit(7))))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("shingle"), lit("#"), col("seed").cast("string")))).as("minhash"))
+    docs.select(col("doc_id"), shingleArr(col("text")).as("sh"))
+      .select(col("doc_id"), posexplode(seedMinArr(col("sh"))).as(Seq("seed", "minhash")))
+      .filter(col("minhash").isNotNull)
 
   /** LSH banding: 4 bands × 2 rows; near-dup candidate pairs share a band
     * signature. The pair join is on (band, signature) — high-cardinality keys,
@@ -82,12 +106,33 @@ object Dedup {
     * so pipelines can checkpoint/compose the signature table (delta mode
     * recomputes signatures for CHANGED docs only and composes the rest). */
   def bandSignaturesFor(docs: DataFrame): DataFrame =
-    minhashSignaturesFor(docs)
-      .withColumn("band", shiftright(col("seed"), 1))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(concat_ws("|",
-        min(when(col("seed") % 2 === 0, col("minhash"))),
-        min(when(col("seed") % 2 === 1, col("minhash")))).as("sig"))
+    withSeedMins(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(bandStructs(col("m"), col("ne"))).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+
+  /** Adds `m` = [[seedMinArr]] and `ne` = has-shingles to `docs`, as REAL
+    * intermediate columns: the 8 band references below are then cheap
+    * attribute reads. (Higher-order functions are CodegenFallback — no
+    * common-subexpression elimination — so inlining `m` into each
+    * element_at would recompute all 8 minima per reference; CollapseProject
+    * keeps the projection split because the alias is non-cheap and
+    * multiply-referenced.) */
+  private[graft] def withSeedMins(docs: DataFrame): DataFrame =
+    docs.withColumn("sh", shingleArr(col("text")))
+      .withColumn("ne", size(col("sh")) > 0)
+      .withColumn("m", seedMinArr(col("sh")))
+      .drop("sh")
+
+  /** The 4 in-row (band, sig) structs behind [[bandSignaturesFor]] — empty
+    * array (no rows after explode) when the doc has no shingles, matching
+    * the aggregation form's absent groups. Band b's signature is
+    * minhash(2b) | minhash(2b+1); `m`/`ne` are [[withSeedMins]] columns. */
+  private[graft] def bandStructs(m: Column, ne: Column): Column =
+    when(ne,
+      transform(sequence(lit(0), lit(3)), b =>
+        struct(b.as("band"),
+          concat_ws("|", element_at(m, b * 2 + 1), element_at(m, b * 2 + 2)).as("sig"))))
+      .otherwise(array().cast("array<struct<band:int,sig:string>>"))
 
   /** `maxBucket` is the hot-bucket guard for the band self-join: a (band,
     * sig) bucket of m docs emits m(m-1)/2 pairs, so one mega-bucket (usually

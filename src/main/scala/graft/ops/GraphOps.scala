@@ -117,6 +117,18 @@ object GraphOps {
     hop2.groupBy(col("seed")).agg(count(lit(1)).as("n_two_hop"))
   }
 
+  /** G5: connected components of the KG viewed undirected — the SAME
+    * DataFrame CC machinery the dedup funnel uses
+    * (min-label propagation + pointer jumping, [[Dedup.connectedComponents]])
+    * applied to the entity graph: component = the component's minimum node
+    * id. The fixture graph resolves to one component per region (every
+    * order chains up through customer → nation → region); asserted against
+    * an independent raw-table derivation in GraphLmSpec. */
+  def components(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      edges(spark, dir).select(col("src").as("d1"), col("dst").as("d2")))
+      .select(col("doc_id").as("node"), col("cluster").as("component"))
+
   /** G4: pointwise mutual information between top-vocabulary terms
     * co-occurring in a document — the association-strength signal a KG
     * builder uses to propose relation candidates between entities. The

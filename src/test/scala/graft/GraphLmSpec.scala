@@ -62,6 +62,37 @@ class GraphLmSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("components == one per region, derived independently from the raw tables") {
+    val nation = Tables.nation(spark, sf).select(col("n_nationkey"), col("n_regionkey"))
+    // every node's region via explicit chain joins (no graph machinery)
+    val nodeRegion =
+      Tables.region(spark, sf)
+        .select(concat(lit("region:"), col("r_regionkey").cast("string")).as("node"),
+                col("r_regionkey").as("rk"))
+      .unionAll(nation
+        .select(concat(lit("nation:"), col("n_nationkey").cast("string")).as("node"),
+                col("n_regionkey").as("rk")))
+      .unionAll(Tables.customer(spark, sf).join(nation, col("c_nationkey") === col("n_nationkey"))
+        .select(concat(lit("cust:"), col("c_custkey").cast("string")).as("node"),
+                col("n_regionkey").as("rk")))
+      .unionAll(Tables.supplier(spark, sf).join(nation, col("s_nationkey") === col("n_nationkey"))
+        .select(concat(lit("supp:"), col("s_suppkey").cast("string")).as("node"),
+                col("n_regionkey").as("rk")))
+      .unionAll(Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .select(concat(lit("order:"), col("o_orderkey").cast("string")).as("node"),
+                col("n_regionkey").as("rk")))
+    val expected = nodeRegion
+      .select(col("node"), col("rk").cast("long").as("rk")).as[(String, Long)].collect()
+      .groupBy(_._2).iterator.flatMap { case (_, ns) =>
+        val label = ns.map(_._1).min
+        ns.iterator.map(n => n._1 -> label)
+      }.toMap
+    val got = GraphOps.components(spark, sf).as[(String, String)].collect().toMap
+    assert(got == expected)
+  }
+
   test("pmi self-consistency: ordered pairs, co <= min(df), pmi recomputed from counts") {
     val rows = GraphOps.pmi(spark, sf)
       .select(col("t1"), col("t2"), col("co"), col("df1"), col("df2"), col("pmi"))
