@@ -56,32 +56,40 @@ object Dedup {
       (w, i) => concat_ws(" ", w, element_at(ws, i + 2), element_at(ws, i + 3)))
   }
 
-  /** The 8 per-seed minhash minima computed IN-ROW: element s is
-    * min over the doc's shingles of md5(shingle#s) — the SAME values as the
-    * historical explode + groupBy(doc_id, seed) form (`array_min` and the
-    * `min` aggregate share UTF8String binary ordering, and md5 hex is
-    * ASCII), but with ZERO exchange: the shingle array never leaves its
-    * row, where the aggregation form shuffled shingles×8 seed rows across
-    * the cluster before the first reduction — the single largest exchange
-    * of the near-dup path at corpus scale. Elements are null iff the doc
-    * has no shingles (<3 words), mirroring the absent groups of the
-    * aggregation form. Also the streaming near-dup enabler: a stateless
-    * per-row expression needs no streaming aggregation state
-    * (graft.streaming.StreamingNearDedup). */
+  /** The 8 per-seed minhash minima computed IN-ROW as one expression:
+    * element s is min over the doc's shingles of md5(shingle#s) — the SAME
+    * values as the batch aggregation form (`array_min` and the `min`
+    * aggregate share UTF8String binary ordering, and md5 hex is ASCII;
+    * equivalence property-tested in StreamingNearDedupSpec). Elements are
+    * null iff the doc has no shingles (<3 words), mirroring the absent
+    * groups of the aggregation form.
+    *
+    * This is the STREAMING form only (graft.streaming.StreamingNearDedup):
+    * a stateless per-row expression needs no streaming aggregation state.
+    * The batch path deliberately keeps explode + groupBy instead — measured
+    * at sf0.1/local[32], this HOF form is ~8× slower (higher-order
+    * functions evaluate interpreted with per-seed array allocation, while
+    * the aggregation form runs md5 + partial min inside whole-stage
+    * codegen), and the exchange it would remove is already collapsed to 8
+    * rows/doc map-side by partial aggregation — there was no scale win to
+    * buy. */
   private[ops] def seedMinArr(sh: Column): Column =
     transform(sequence(lit(0), lit(7)), s =>
       array_min(transform(sh, x => md5(concat(x, lit("#"), s.cast("string"))))))
 
-  /** MinHash signatures: 8 permutations simulated as min(md5(shingle#seed)),
-    * computed in-row ([[seedMinArr]]) and exploded to the oracled
-    * (doc_id, seed, minhash) shape — a narrow generate, no aggregation. */
+  /** MinHash signatures: 8 permutations simulated as min(md5(shingle#seed)).
+    * Codegen'd explode + groupBy: md5 and the partial min run inside
+    * whole-stage codegen, and partial aggregation collapses the stream to 8
+    * rows/doc before the exchange (see [[seedMinArr]] for why the in-row
+    * expression form is streaming-only). */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     minhashSignaturesFor(Tables.documents(spark, dir))
 
   def minhashSignaturesFor(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), shingleArr(col("text")).as("sh"))
-      .select(col("doc_id"), posexplode(seedMinArr(col("sh"))).as(Seq("seed", "minhash")))
-      .filter(col("minhash").isNotNull)
+    shinglesFor(docs)
+      .withColumn("seed", explode(sequence(lit(0), lit(7))))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(md5(concat(col("shingle"), lit("#"), col("seed").cast("string")))).as("minhash"))
 
   /** LSH banding: 4 bands × 2 rows; near-dup candidate pairs share a band
     * signature. The pair join is on (band, signature) — high-cardinality keys,
@@ -106,33 +114,25 @@ object Dedup {
     * so pipelines can checkpoint/compose the signature table (delta mode
     * recomputes signatures for CHANGED docs only and composes the rest). */
   def bandSignaturesFor(docs: DataFrame): DataFrame =
-    withSeedMins(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), explode(bandStructs(col("m"), col("ne"))).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+    minhashSignaturesFor(docs)
+      .withColumn("band", shiftright(col("seed"), 1))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(concat_ws("|",
+        min(when(col("seed") % 2 === 0, col("minhash"))),
+        min(when(col("seed") % 2 === 1, col("minhash")))).as("sig"))
 
   /** Adds `m` = [[seedMinArr]] and `ne` = has-shingles to `docs`, as REAL
-    * intermediate columns: the 8 band references below are then cheap
+    * intermediate columns: downstream per-band references are then cheap
     * attribute reads. (Higher-order functions are CodegenFallback — no
     * common-subexpression elimination — so inlining `m` into each
     * element_at would recompute all 8 minima per reference; CollapseProject
     * keeps the projection split because the alias is non-cheap and
-    * multiply-referenced.) */
+    * multiply-referenced.) Streaming-only — see [[seedMinArr]]. */
   private[graft] def withSeedMins(docs: DataFrame): DataFrame =
     docs.withColumn("sh", shingleArr(col("text")))
       .withColumn("ne", size(col("sh")) > 0)
       .withColumn("m", seedMinArr(col("sh")))
       .drop("sh")
-
-  /** The 4 in-row (band, sig) structs behind [[bandSignaturesFor]] — empty
-    * array (no rows after explode) when the doc has no shingles, matching
-    * the aggregation form's absent groups. Band b's signature is
-    * minhash(2b) | minhash(2b+1); `m`/`ne` are [[withSeedMins]] columns. */
-  private[graft] def bandStructs(m: Column, ne: Column): Column =
-    when(ne,
-      transform(sequence(lit(0), lit(3)), b =>
-        struct(b.as("band"),
-          concat_ws("|", element_at(m, b * 2 + 1), element_at(m, b * 2 + 2)).as("sig"))))
-      .otherwise(array().cast("array<struct<band:int,sig:string>>"))
 
   /** `maxBucket` is the hot-bucket guard for the band self-join: a (band,
     * sig) bucket of m docs emits m(m-1)/2 pairs, so one mega-bucket (usually

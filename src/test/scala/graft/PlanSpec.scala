@@ -107,6 +107,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"shingle stage shuffles:\n$p")
   }
 
+  test("streaming band-signature expression path is exchange-free") {
+    // the streaming near-dup filter attaches band signatures as per-row
+    // expressions (no aggregation state) — the whole signed projection must
+    // plan without any Exchange
+    val p = plan(graft.streaming.StreamingNearDedup.withBandSigCols(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+                org.apache.spark.sql.functions.col("text"))))
+    assert(!p.contains("Exchange"), s"streaming signature path shuffles:\n$p")
+  }
+
   test("text_langid is fully in-row: zero exchanges") {
     // marker counting runs as size(filter(tokens, isin)) per language — the
     // old explode + corpus-wide groupBy re-shuffled every token of the corpus
