@@ -43,24 +43,40 @@ object TextAnalysis {
   def quality(spark: SparkSession, dir: String): DataFrame =
     qualityFor(Tables.documents(spark, dir))
 
-  def qualityFor(docs: DataFrame): DataFrame = {
-    // All per-token statistics computed INSIDE the row with array
-    // higher-order functions — the previous explode + corpus-wide groupBy
-    // shuffled every token of every document (the funnel's c1 gate would
-    // have made that a 100 TB-scale exchange); values are identical
-    // (same integer arithmetic), asserted by the unchanged DuckDB oracle.
-    val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
-    docs.select(col("doc_id"), length(col("text")).as("n_chars"),
-        length(regexp_replace(lower(col("text")), "[^a-z]", "")).as("alpha_chars"),
-        size(toks).cast("long").as("n_tokens"),
-        aggregate(transform(toks, t => length(t).cast("long")),
-                  lit(0L), (a, x) => a + x).as("sum_len"),
-        size(filter(toks, t => lower(t).isin(Stop: _*))).cast("long").as("stop_hits"))
+  def qualityFor(docs: DataFrame): DataFrame =
+    withQualityStats(docs)
       .select(col("doc_id"), col("n_chars"), col("n_tokens"),
-        expr("(sum_len * 10000) div n_tokens").as("avg_token_len_e4"),
-        expr("(stop_hits * 1000000) div n_tokens").as("stopword_ppm"),
-        expr("(CAST(alpha_chars AS BIGINT) * 1000000) div n_chars").as("alpha_ppm"))
-      .withColumn("quality_ppm", expr("(alpha_ppm + (1000000 - stopword_ppm)) div 2"))
+        col("avg_token_len_e4"), col("stopword_ppm"), col("alpha_ppm"),
+        col("quality_ppm"))
+
+  /** [[qualityFor]]'s statistics APPENDED to the input columns (payload
+    * preserved) — the form a streaming gate needs: filter on the stats
+    * while `text` rides through to the next stage, no self-join to
+    * re-attach the payload. All per-token statistics computed INSIDE the
+    * row with array higher-order functions — the historical explode +
+    * corpus-wide groupBy shuffled every token of every document (the
+    * funnel's c1 gate would have made that a 100 TB-scale exchange); values
+    * are identical (same integer arithmetic), asserted by the unchanged
+    * DuckDB oracle. */
+  def withQualityStats(docs: DataFrame): DataFrame = {
+    val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    docs
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("alpha_chars",
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("sum_len",
+        aggregate(transform(toks, t => length(t).cast("long")),
+                  lit(0L), (a, x) => a + x))
+      .withColumn("stop_hits",
+        size(filter(toks, t => lower(t).isin(Stop: _*))).cast("long"))
+      .withColumn("avg_token_len_e4", expr("(sum_len * 10000) div n_tokens"))
+      .withColumn("stopword_ppm", expr("(stop_hits * 1000000) div n_tokens"))
+      .withColumn("alpha_ppm",
+        expr("(CAST(alpha_chars AS BIGINT) * 1000000) div n_chars"))
+      .withColumn("quality_ppm",
+        expr("(alpha_ppm + (1000000 - stopword_ppm)) div 2"))
+      .drop("alpha_chars", "sum_len", "stop_hits")
   }
 
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation. */
