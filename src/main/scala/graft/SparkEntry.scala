@@ -113,6 +113,7 @@ object SparkEntry {
     "text_token_hist"    -> TextAnalysis.tokenHistogram _,
     "text_repetition"    -> TextAnalysis.repetition _,
     "text_lm_score"      -> TextAnalysis.lmScore _,
+    "text_length_quantiles" -> TextAnalysis.lengthQuantiles _,
     // graph analytics over materialized triples (G1–G4): degree profile,
     // fixed-point PageRank, 2-hop reachability, co-occurrence PMI
     "kg_degree"          -> GraphOps.degree _,
@@ -949,6 +950,17 @@ object SparkEntry {
          |SELECT p.t1, p.t2, p.co, m1.df AS df1, m2.df AS df2,
          |  round(log2(CAST(p.co AS DOUBLE) * nd.n / (CAST(m1.df AS DOUBLE) * m2.df)), 6) AS pmi
          |FROM pairs p JOIN marg m1 ON p.t1 = m1.term JOIN marg m2 ON p.t2 = m2.term CROSS JOIN nd""".stripMargin,
+    // exact percentile_cont on both engines (identical SQL-standard
+    // interpolation formula over integer token counts)
+    "text_length_quantiles" ->
+      """WITH t AS (SELECT lang, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS toks FROM documents)
+        |SELECT lang,
+        |  round(quantile_cont(toks, 0.25), 4) AS p25,
+        |  round(quantile_cont(toks, 0.50), 4) AS p50,
+        |  round(quantile_cont(toks, 0.75), 4) AS p75,
+        |  round(quantile_cont(toks, 0.95), 4) AS p95,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM t GROUP BY lang""".stripMargin,
     // add-one-smoothed bigram LM self-scoring: exact BIGINT counts, the
     // only floats are the final log2/avg (rounded to 6 dp)
     "text_lm_score" ->

@@ -62,9 +62,10 @@ object PlanDump {
       ("KG PageRank (r4, fixed-point integer, 3 rounds)",
        "Design point: the prepared edge table (edges ⋈ outdeg) appears once " +
        "per round in ONE composed plan, so its exchange is planned once and " +
-       "reused; ranks are exact BIGINT micro-units (no float sum-order " +
-       "nondeterminism); per round one shuffle join + one partial-agg " +
-       "groupBy(dst).",
+       "reused (printed repetition here is the AQE artifact described at the " +
+       "top; PlanSpec asserts ReusedExchange with AQE off); ranks are exact " +
+       "BIGINT micro-units (no float sum-order nondeterminism); per round " +
+       "one shuffle join + one partial-agg groupBy(dst).",
        fmt(graft.ops.GraphOps.pagerank(spark, sf))),
       ("Sequence packing (r3)",
        "Design point: the running-offset window partitions by shard (one " +

@@ -130,6 +130,27 @@ object TextAnalysis {
       .agg(min(md5(col("shingle"))).as("fingerprint"),
            countDistinct(col("shingle")).as("n_shingles"))
 
+  /** Per-language token-count quantiles — the length distribution summary
+    * every corpus card publishes next to [[tokenHistogram]]'s buckets.
+    * Exact `percentile` (SQL-standard percentile_cont interpolation, same
+    * formula in DuckDB's quantile_cont, so the oracle matches to the
+    * rounding digit). Exact percentile materializes each group's values —
+    * fine for a per-language rollup at any corpus size ONLY because the
+    * group count is tiny and Spark's implementation aggregates counts; at
+    * 10^12 rows the drop-in scale path is `percentile_approx` (mergeable
+    * KLL-style sketch, same query shape, two-phase aggregation). */
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("toks"))
+      .groupBy(col("lang"))
+      .agg(round(percentile(col("toks"), lit(0.25)), 4).as("p25"),
+           round(percentile(col("toks"), lit(0.5)), 4).as("p50"),
+           round(percentile(col("toks"), lit(0.75)), 4).as("p75"),
+           round(percentile(col("toks"), lit(0.95)), 4).as("p95"),
+           count(lit(1)).as("n_docs"))
+
   /** N-gram language-model quality score (the KenLM-style perplexity filter
     * every web-scale curation stack runs): train an add-one-smoothed bigram
     * model ON the corpus itself, then score each document by its mean

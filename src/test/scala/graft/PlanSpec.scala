@@ -107,6 +107,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"shingle stage shuffles:\n$p")
   }
 
+  test("pagerank rounds reuse the prepared edge-table exchange (AQE off)") {
+    // with AQE the printed plan repeats the subtree (stage-cache dedup is a
+    // runtime artifact — see PLANS.md header); with AQE off the static
+    // ReuseExchange rule is visible in the plan itself
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = graft.ops.GraphOps.pagerank(spark, sf).queryExecution
+        .executedPlan.toString
+      assert(p.contains("ReusedExchange"), s"no exchange reuse across rounds:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("streaming band-signature expression path is exchange-free") {
     // the streaming near-dup filter attaches band signatures as per-row
     // expressions (no aggregation state) — the whole signed projection must
