@@ -74,6 +74,7 @@ object SparkEntry {
     "a7_lineage_rollup"  -> RelOps.a7LineageRollup _,
     "a8_distinct"        -> RelOps.a8Distinct _,
     "a9_counters"        -> RelOps.a9Counters _,
+    "a10_rollup"         -> RelOps.a10Rollup _,
     // §2.6 windows, §2.7 sort/limit, §2.8 set ops
     "w1_top1_candidate"  -> RelOps.w1Top1 _,
     "w2_moving_sum"      -> RelOps.w2MovingSum _,
@@ -444,6 +445,12 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
         |       CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT) AS hi_qty
         |FROM lineitem""".stripMargin,
+    "a10_rollup" ->
+      """SELECT coalesce(o_orderpriority, '(all)') AS priority,
+        |       coalesce(o_orderstatus, '(all)') AS status,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total_price
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
     "w1_top1_candidate" ->
       s"""WITH $T, $K,
          |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY doc_id, term)

@@ -271,6 +271,21 @@ object RelOps {
       .groupBy(col("repo"))
       .agg(countDistinct(col("path")).as("files"), count(lit(1)).as("token_rows"))
 
+  /** A10: ROLLUP subtotals — the shape of every per-run report (per stage,
+    * per stage-group, grand total in one pass). Spark expands the grouping
+    * sets BEFORE aggregation but the partial agg still applies per set;
+    * one exchange keyed on the expanded grouping columns. Null grouping
+    * cells are labeled explicitly ("(all)") so the subtotal rows are
+    * unambiguous — and so both engines agree on a non-null sort key. */
+  def a10Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 2).as("total_price"))
+      .select(coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+              coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+              col("n_orders"), col("total_price"))
+
   /** A8: distinct (dedup across extractor overlap). */
   def a8Distinct(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(col("lang"), col("source")).distinct()

@@ -107,6 +107,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"shingle stage shuffles:\n$p")
   }
 
+  test("pred-partitioned triple sink prunes partitions on read-back") {
+    // S5 writes triples partitioned by pred; a consumer filtering on pred
+    // must touch only that partition's files (PartitionFilters in the scan,
+    // not a post-scan Filter over all rows) — at 100 TB this is the
+    // difference between reading one predicate's directory and the corpus
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString + "/triples"
+    import spark.implicits._
+    Seq(("s1", "imports", "o1"), ("s2", "mentions", "o2"), ("s3", "documents", "o3"))
+      .toDF("subj", "pred", "obj")
+      .write.partitionBy("pred").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("pred") === "imports")
+    val scan = q.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*pred#\\d+ = imports".r
+             .findFirstIn(scan).isDefined,
+      s"partition filter not pushed:\n$scan")
+    assert(q.count() == 1)
+  }
+
   test("pagerank rounds reuse the prepared edge-table exchange (AQE off)") {
     // with AQE the printed plan repeats the subtree (stage-cache dedup is a
     // runtime artifact — see PLANS.md header); with AQE off the static
