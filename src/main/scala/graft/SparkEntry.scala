@@ -78,6 +78,7 @@ object SparkEntry {
     // §2.6 windows, §2.7 sort/limit, §2.8 set ops
     "w1_top1_candidate"  -> RelOps.w1Top1 _,
     "w2_moving_sum"      -> RelOps.w2MovingSum _,
+    "w4_sessionize"      -> RelOps.w4Sessionize _,
     "w3_rank_prior"      -> RelOps.w3RankPrior _,
     "u2_except_resume"   -> RelOps.u2ExceptResume _,
     "u3_sha_except"      -> RelOps.u3ShaExcept _,
@@ -465,6 +466,23 @@ object SparkEntry {
     "w3_rank_prior" ->
       s"""WITH $T, $K
          |SELECT entity_id, label, prior, CAST(rank() OVER (ORDER BY prior DESC, label) AS BIGINT) AS rnk FROM kb""".stripMargin,
+    // gap sessionization: exact integer-microsecond gaps (epoch_us ≡
+    // unix_micros), total ordering, explicit ROWS frame
+    "w4_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+        |             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |           FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |        CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |      FROM e)
+        |SELECT user_id, session_idx,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
     "u2_except_resume" ->
       s"""WITH $C
          |SELECT repo FROM src_files EXCEPT SELECT repo FROM src_files WHERE lang = 'en'""".stripMargin,

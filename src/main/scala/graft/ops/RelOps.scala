@@ -226,6 +226,38 @@ object RelOps {
               round(sum(col("l_quantity")).over(w), 2).as("moving_qty"))
   }
 
+  /** W4: gap-based sessionization — the classic event-analytics window op:
+    * per user, a new session starts when the gap to the previous event
+    * exceeds `gap` (30 min); sessions are then rolled up to one row each.
+    *
+    * Shape at scale: ONE shuffle keyed on user_id — the lag and the running
+    * sum share the same (partition, ordering) so they run in one Window
+    * over one sort, and the session rollup's clustering requirement
+    * (user_id, session_idx) is already satisfied by hashpartitioning
+    * (user_id), so the groupBy adds no exchange. Ordering is TOTAL
+    * ((ts, event_id) — ts alone could tie) and the frame is explicit ROWS.
+    * Timestamps compare in exact integer microseconds (`unix_micros` ≡
+    * DuckDB's `epoch_us`). The streaming form of this operator is Spark's
+    * built-in `session_window` aggregation (same semantics, watermarked). */
+  def w4Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_s")).over(ws))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+           date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+           count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("total_value"))
+  }
+
   /** W3: rank KB entities by lookup prior (the no-context fallback ranking).
     * rank() = 1 + |rows strictly ahead in (prior desc, label asc)| — computed
     * as a broadcast non-equi self-join over the k-row dictionary instead of a

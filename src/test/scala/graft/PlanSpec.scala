@@ -107,6 +107,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"shingle stage shuffles:\n$p")
   }
 
+  test("sessionization is ONE exchange: lag, running sum and rollup share user_id partitioning") {
+    // both windows run in one sort over hashpartitioning(user_id), and the
+    // (user_id, session_idx) rollup's clustering is already satisfied by it
+    val p = plan(RelOps.w4Sessionize(spark, sf))
+    val exchanges = "(?<!Reused)Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
+  }
+
   test("pred-partitioned triple sink prunes partitions on read-back") {
     // S5 writes triples partitioned by pred; a consumer filtering on pred
     // must touch only that partition's files (PartitionFilters in the scan,
