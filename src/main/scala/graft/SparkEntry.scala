@@ -64,6 +64,7 @@ object SparkEntry {
     "j5_cosine_score"    -> RelOps.j5CosineScore _,
     "j6_eval_pr"         -> RelOps.j6Eval _,
     "j7_sha_check"       -> RelOps.j7ShaCheck _,
+    "j8_range_join"      -> RelOps.j8RangeJoin _,
     // §2.5 aggregations
     "a1_tf"              -> RelOps.a1Tf _,
     "a2_idf"             -> RelOps.a2Idf _,
@@ -466,6 +467,18 @@ object SparkEntry {
     "w3_rank_prior" ->
       s"""WITH $T, $K
          |SELECT entity_id, label, prior, CAST(rank() OVER (ORDER BY prior DESC, label) AS BIGINT) AS rnk FROM kb""".stripMargin,
+    // range join: the oracle states the SEMANTICS as a plain non-equi join;
+    // the Spark side computes the identical result via time-bucketed equi
+    // join (the scale shape) — same rows, engine-checked
+    "j8_range_join" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+        |err AS (SELECT user_id, event_id AS err_id, us AS err_us FROM ev WHERE event_type = 'error'),
+        |m AS (SELECT e.user_id, e.err_id, CAST(count(*) AS BIGINT) AS n_nearby
+        |      FROM err e JOIN ev x ON e.user_id = x.user_id
+        |        AND abs(x.us - e.err_us) <= 300000000 AND x.event_id <> e.err_id
+        |      GROUP BY e.user_id, e.err_id)
+        |SELECT e.user_id, e.err_id, coalesce(m.n_nearby, CAST(0 AS BIGINT)) AS n_nearby
+        |FROM err e LEFT JOIN m ON e.user_id = m.user_id AND e.err_id = m.err_id""".stripMargin,
     // gap sessionization: exact integer-microsecond gaps (epoch_us ≡
     // unix_micros), total ordering, explicit ROWS frame
     "w4_sessionize" ->

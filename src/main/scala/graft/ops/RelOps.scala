@@ -226,6 +226,40 @@ object RelOps {
               round(sum(col("l_quantity")).over(w), 2).as("moving_qty"))
   }
 
+  /** J8: bucketed RANGE join — "events of the same user within ±5 minutes
+    * of each error event". A naive range join is an equi join on user_id
+    * with the range as a post-filter: per-user quadratic, and a user with
+    * 10^6 events makes one task quadratic at corpus scale. The standard
+    * scale shape bucketes time at the range width: the probe side explodes
+    * into its own bucket ±1, the build side keeps its single bucket, and
+    * the join is EQUI on (user_id, bucket) — every in-range pair lands in
+    * exactly one bucket pairing, per-task work is bounded by bucket
+    * population, and the exact range predicate filters the bucket-edge
+    * false positives. Plan-asserted: hash join, never
+    * BroadcastNestedLoopJoin/CartesianProduct. Exact integer-microsecond
+    * time arithmetic throughout — bucket = `us div width` BIGINT division
+    * (all epochs positive, so trunc ≡ floor; no double rounding anywhere). */
+  def j8RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 300L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+    val bucket = expr(s"us div ${gapUs}L")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"), col("us").as("err_us"),
+              bucket.as("bucket"))
+    val probes = ev
+      .select(col("user_id"), col("event_id"), col("us"),
+              explode(array(bucket - 1, bucket, bucket + 1)).as("bucket"))
+    val nearby = errors.join(probes, Seq("user_id", "bucket"))
+      .filter(abs(col("us") - col("err_us")) <= gapUs && col("event_id") =!= col("err_id"))
+      .groupBy(col("user_id"), col("err_id"))
+      .agg(count(lit(1)).as("n_nearby"))
+    errors.select(col("user_id"), col("err_id"))
+      .join(nearby, Seq("user_id", "err_id"), "left_outer")
+      .select(col("user_id"), col("err_id"),
+              coalesce(col("n_nearby"), lit(0L)).as("n_nearby"))
+  }
+
   /** W4: gap-based sessionization — the classic event-analytics window op:
     * per user, a new session starts when the gap to the previous event
     * exceeds `gap` (30 min); sessions are then rolled up to one row each.

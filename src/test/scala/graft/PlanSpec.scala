@@ -107,6 +107,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"shingle stage shuffles:\n$p")
   }
 
+  test("bucketed range join is a hash join — never nested-loop/cartesian") {
+    val p = plan(RelOps.j8RangeJoin(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degraded to a product:\n$p")
+    assert(p.contains("HashJoin"), s"expected a hash join on (user_id, bucket):\n$p")
+  }
+
   test("sessionization is ONE exchange: lag, running sum and rollup share user_id partitioning") {
     // both windows run in one sort over hashpartitioning(user_id), and the
     // (user_id, session_idx) rollup's clustering is already satisfied by it
