@@ -65,6 +65,7 @@ object SparkEntry {
     "j6_eval_pr"         -> RelOps.j6Eval _,
     "j7_sha_check"       -> RelOps.j7ShaCheck _,
     "j8_range_join"      -> RelOps.j8RangeJoin _,
+    "j9_asof_join"       -> RelOps.j9AsofJoin _,
     // §2.5 aggregations
     "a1_tf"              -> RelOps.a1Tf _,
     "a2_idf"             -> RelOps.a2Idf _,
@@ -479,6 +480,14 @@ object SparkEntry {
         |      GROUP BY e.user_id, e.err_id)
         |SELECT e.user_id, e.err_id, coalesce(m.n_nearby, CAST(0 AS BIGINT)) AS n_nearby
         |FROM err e LEFT JOIN m ON e.user_id = m.user_id AND e.err_id = m.err_id""".stripMargin,
+    // as-of join: the oracle is DuckDB's NATIVE ASOF LEFT JOIN — the Spark
+    // union+window form must match a real as-of join row for row
+    "j9_asof_join" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+        |err AS (SELECT user_id, us, max(event_id) AS asof_err_id FROM ev
+        |        WHERE event_type = 'error' GROUP BY user_id, us)
+        |SELECT e.user_id, e.event_id, a.asof_err_id, e.us - a.us AS us_since_err
+        |FROM ev e ASOF LEFT JOIN err a ON e.user_id = a.user_id AND e.us >= a.us""".stripMargin,
     // gap sessionization: exact integer-microsecond gaps (epoch_us ≡
     // unix_micros), total ordering, explicit ROWS frame
     "w4_sessionize" ->

@@ -260,6 +260,41 @@ object RelOps {
               coalesce(col("n_nearby"), lit(0L)).as("n_nearby"))
   }
 
+  /** J9: AS-OF join — "the most recent error event of the same user at or
+    * before each event". A join-based as-of is a per-user range join with a
+    * top-1; the Spark-native scale shape needs NO join at all: union the
+    * (deduplicated) error markers with the event stream and take a running
+    * `last(ignoreNulls)` over one per-user window — ONE shuffle on user_id,
+    * one sort, and zero join fan-out regardless of error density. Markers
+    * sort before events at equal timestamps (kind desc) so an event at the
+    * marker's own microsecond matches it; markers are pre-deduplicated to
+    * one per (user, us) (max event_id) because an as-of against tied keys
+    * is otherwise nondeterministic in ANY engine. The DuckDB oracle is the
+    * NATIVE `ASOF LEFT JOIN` — the equivalence of the union+window form and
+    * a real as-of join is engine-checked, row for row. */
+  def j9AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+    val err = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("us")).agg(max(col("event_id")).as("asof_err_id"))
+    val tagged = ev
+      .select(col("user_id"), col("us"), col("event_id"),
+              lit(null).cast("long").as("m_id"), lit(null).cast("long").as("m_us"),
+              lit(0).as("kind"))
+      .unionByName(err.select(col("user_id"), col("us"),
+              lit(null).cast("long").as("event_id"),
+              col("asof_err_id").as("m_id"), col("us").as("m_us"), lit(1).as("kind")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("kind").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("a_id", last(col("m_id"), ignoreNulls = true).over(w))
+      .withColumn("a_us", last(col("m_us"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 0)
+      .select(col("user_id"), col("event_id"), col("a_id").as("asof_err_id"),
+              (col("us") - col("a_us")).as("us_since_err"))
+  }
+
   /** W4: gap-based sessionization — the classic event-analytics window op:
     * per user, a new session starts when the gap to the previous event
     * exceeds `gap` (30 min); sessions are then rolled up to one row each.

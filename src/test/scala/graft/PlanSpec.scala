@@ -114,6 +114,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin"), s"expected a hash join on (user_id, bucket):\n$p")
   }
 
+  test("as-of join plans with ZERO join operators — union + one window") {
+    val p = plan(RelOps.j9AsofJoin(spark, sf))
+    assert(!p.contains("Join"), s"as-of should be joinless:\n$p")
+    val exchanges = "(?<!Reused)Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 exchanges (marker agg + window), got $exchanges:\n$p")
+  }
+
   test("sessionization is ONE exchange: lag, running sum and rollup share user_id partitioning") {
     // both windows run in one sort over hashpartitioning(user_id), and the
     // (user_id, session_idx) rollup's clustering is already satisfied by it
