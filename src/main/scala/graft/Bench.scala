@@ -16,6 +16,13 @@ import java.nio.file.Files
   * triples/sec. SPARK_GRAFT_BENCH_FILES sizes the pipeline corpus — the
   * default is large enough that the ~15 checkpoint write+read cycles' fixed
   * cost does not dominate the measured throughput.
+  *
+  * Self-annotation: a fixed pure-CPU calibration probe is timed before the
+  * query sweep and after the pipeline (`calib_sec_pre`/`calib_sec_post` in
+  * the JSON), and the pipeline entry is best-of-`SPARK_GRAFT_BENCH_PIPELINE
+  * _RUNS` (default 2, all runs reported) — so a loaded host window is
+  * machine-detectable instead of reading as a code regression (the r4
+  * false-alarm).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -59,6 +66,15 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // Host-speed calibration probe (r4 lesson: a loaded host window once
+    // read as a 2× code regression). A fixed pure-CPU job is timed before
+    // the queries and again after the pipeline; both go into the JSON so a
+    // slow window is machine-detectable by comparing calib_sec across
+    // rounds — the probe's cost does not depend on any code in this repo.
+    def calibrate(): Double =
+      time(spark.range(400000000L).selectExpr("sum(id * 3 % 7)").collect())
+    val calibPre = calibrate()
+
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     // SPARK_GRAFT_BENCH_PIPELINE_ONLY=1 → scaling runs time just the pipeline
@@ -79,27 +95,35 @@ object Bench {
     // SPARK_GRAFT_BENCH_DIR relocates the checkpoint root (e.g. /dev/shm to
     // take the local disk out of a scaling measurement — cluster storage
     // scales with executors, one box's disk does not).
-    val out = sys.env.get("SPARK_GRAFT_BENCH_DIR").map { d =>
+    def ckptDir(): String = sys.env.get("SPARK_GRAFT_BENCH_DIR").map { d =>
       val p = java.nio.file.Paths.get(d)
       java.nio.file.Files.createDirectories(p)
       Files.createTempDirectory(p, "ckpt").toString
     }.getOrElse(Files.createTempDirectory("graft_bench_ckpt").toString)
+    // best-of-N (default 2): one slow host window cannot fake a pipeline
+    // regression; every run's wall-clock is still reported
+    val pipeRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPELINE_RUNS", "2").toInt
     var triples = 0L
-    val pipeSec = time {
-      val pipe = new kg.Pipeline(new ParquetTableIO(out), runId = "bench")
-      val t = pipe.run(spark,
-        kg.CorpusGen.srcFiles(spark, nFiles).toDF(),
-        kg.CorpusGen.kbEntries(spark).toDF(),
-        kg.CorpusGen.kbContexts(spark).toDF())
-      triples = t.count()
+    val pipeSecs = (1 to pipeRuns).map { _ =>
+      time {
+        val pipe = new kg.Pipeline(new ParquetTableIO(ckptDir()), runId = "bench")
+        val t = pipe.run(spark,
+          kg.CorpusGen.srcFiles(spark, nFiles).toDF(),
+          kg.CorpusGen.kbEntries(spark).toDF(),
+          kg.CorpusGen.kbContexts(spark).toDF())
+        triples = t.count()
+      }
     }
+    val pipeSec = pipeSecs.min
     results("kg_pipeline_e2e") = pipeSec
+    val calibPost = calibrate()
 
     val total = results.values.filter(_ >= 0).sum
     val thr = triples / pipeSec
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val fq = failed.map(n => s""""$n"""").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed_queries":$fq,"sf":"$sfDir","cpus":$cpus,"pipeline_files":$nFiles,"pipeline_triples":$triples,"pipeline_triples_per_sec":$thr%.1f}""")
+    val pr = pipeSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed_queries":$fq,"sf":"$sfDir","cpus":$cpus,"pipeline_files":$nFiles,"pipeline_triples":$triples,"pipeline_triples_per_sec":$thr%.1f,"pipeline_runs_sec":$pr,"calib_sec_pre":$calibPre%.3f,"calib_sec_post":$calibPost%.3f}""")
     spark.stop()
   }
 }

@@ -30,6 +30,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
+  /** Catalog name for `base` under `runId`. Bucketed tables are managed
+    * catalog tables, so two concurrent runs (or a bench and a test) sharing
+    * a metastore would collide on a fixed name — every writer namespaces by
+    * its run id instead, and retires superseded runs via [[dropStale]].
+    * Lowercased up front: the catalog is case-insensitive and stores names
+    * folded, so normalizing here keeps names round-trippable. */
+  def runTable(base: String, runId: String): String =
+    s"${base}__$runId".toLowerCase
+
   /** Write `df` as a managed parquet table bucketed (and sorted) by `key`
     * into `nBuckets`. Overwrites any existing table of that name. */
   def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit =
@@ -38,6 +47,28 @@ object Bucketing {
       .sortBy(key)
       .mode("overwrite")
       .saveAsTable(table)
+
+  /** Write `df` bucketed under the per-run name; returns that name. Does NOT
+    * drop other runs' tables (concurrent runs must not kill each other) —
+    * retire them explicitly with [[dropStale]] once a run is superseded. */
+  def writeBucketedRun(df: DataFrame, base: String, runId: String,
+                       key: String, nBuckets: Int): String = {
+    val t = runTable(base, runId)
+    writeBucketed(df, t, key, nBuckets)
+    t
+  }
+
+  /** Drop every `base__*` table whose run id is not in `keep` (the publish-
+    * then-retire half of the per-run namespacing). */
+  def dropStale(spark: SparkSession, base: String, keep: Set[String]): Seq[String] = {
+    val prefix = s"${base.toLowerCase}__"
+    val keepNorm = keep.map(_.toLowerCase)
+    val stale = spark.catalog.listTables().collect().toSeq
+      .map(_.name)
+      .filter(n => n.startsWith(prefix) && !keepNorm.contains(n.stripPrefix(prefix)))
+    stale.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    stale.sorted
+  }
 
   /** Join two same-key same-count bucketed tables: distribution comes from
     * storage, so the plan contains no shuffle on either side. */

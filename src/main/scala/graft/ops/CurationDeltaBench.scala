@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.io.ParquetTableIO
 
 /** Scale benchmark for the curation funnel's DELTA mode: run the full
-  * funnel on a generated v1 corpus, then a delta run against a ~2% churned
-  * v2 (1% modified in place, 0.5% deleted, 0.5% new), then a FULL run on v2
+  * funnel on a generated v1 corpus, then a delta run against a ~1.25% churned
+  * v2 (0.5% modified in place, 0.25% deleted, 0.5% new), then a FULL run on v2
   * for the honest comparison — delta output must row-count-match the full
   * v2 run (the byte-exactness is golden-tested in CurationDeltaSpec; here
   * we measure wall-clock at corpus scale).

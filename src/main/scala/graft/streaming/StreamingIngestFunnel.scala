@@ -35,7 +35,7 @@ object StreamingIngestFunnel {
   def apply(stream: DataFrame, index: DataFrame,
             horizon: String = "10 minutes",
             minTokens: Long = 5L, minQualityPpm: Long = 400000L,
-            minAlphaPpm: Long = 300000L): DataFrame = {
+            minAlphaPpm: Long = 500000L): DataFrame = {
     // the stats are APPENDED per row (withQualityStats), so the gate is a
     // plain filter and the payload rides through — no self-join; alpha_ppm
     // is the symbol-soup catch, exactly as in the batch c1 gate

@@ -39,4 +39,26 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_scores")
     }
   }
+
+  test("per-run namespacing: concurrent runs never collide; stale runs retire") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    try {
+      // two "concurrent" runs publish under distinct names — no collision,
+      // and writing run B must not disturb run A's committed table
+      val tA = Bucketing.writeBucketedRun(docs, "bkt", "runA", "doc_id", 4)
+      val tB = Bucketing.writeBucketedRun(docs.limit(100), "bkt", "runB", "doc_id", 4)
+      assert(tA != tB)
+      assert(spark.table(tA).count() == 500 && spark.table(tB).count() == 100)
+
+      // retiring everything but runB drops exactly runA's table
+      val dropped = Bucketing.dropStale(spark, "bkt", keep = Set("runB"))
+      assert(dropped == Seq(tA).sorted, s"expected to drop only $tA, dropped $dropped")
+      assert(!spark.catalog.tableExists(tA) && spark.table(tB).count() == 100)
+
+      // re-running the SAME run id overwrites its own table (rerun-safe)
+      Bucketing.writeBucketedRun(docs, "bkt", "runB", "doc_id", 4)
+      assert(spark.table(tB).count() == 500)
+    } finally Bucketing.dropStale(spark, "bkt", keep = Set.empty)
+  }
 }
