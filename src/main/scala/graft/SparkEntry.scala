@@ -77,6 +77,7 @@ object SparkEntry {
     "a8_distinct"        -> RelOps.a8Distinct _,
     "a9_counters"        -> RelOps.a9Counters _,
     "a10_rollup"         -> RelOps.a10Rollup _,
+    "a11_cube"           -> RelOps.a11Cube _,
     // §2.6 windows, §2.7 sort/limit, §2.8 set ops
     "w1_top1_candidate"  -> RelOps.w1Top1 _,
     "w2_moving_sum"      -> RelOps.w2MovingSum _,
@@ -118,6 +119,9 @@ object SparkEntry {
     "text_repetition"    -> TextAnalysis.repetition _,
     "text_lm_score"      -> TextAnalysis.lmScore _,
     "text_length_quantiles" -> TextAnalysis.lengthQuantiles _,
+    // no oracle by contract (sketch internals differ across engines —
+    // rows-only driver check); bounded by the exact operator in GraphLmSpec
+    "text_length_quantiles_approx" -> TextAnalysis.lengthQuantilesApprox _,
     // graph analytics over materialized triples (G1–G4): degree profile,
     // fixed-point PageRank, 2-hop reachability, co-occurrence PMI
     "kg_degree"          -> GraphOps.degree _,
@@ -448,12 +452,20 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
         |       CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT) AS hi_qty
         |FROM lineitem""".stripMargin,
+    // subtotal rows identified by GROUPING() on both engines — never by
+    // null-coalescing the cell (which a genuine NULL/'(all)' value would fake)
     "a10_rollup" ->
-      """SELECT coalesce(o_orderpriority, '(all)') AS priority,
-        |       coalesce(o_orderstatus, '(all)') AS status,
+      """SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)' ELSE o_orderpriority END AS priority,
+        |       CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)' ELSE o_orderstatus END AS status,
         |       CAST(count(*) AS BIGINT) AS n_orders,
         |       round(sum(o_totalprice), 2) AS total_price
         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
+    "a11_cube" ->
+      """SELECT CASE WHEN GROUPING(lang) = 1 THEN '(all)' ELSE lang END AS lang,
+        |       CASE WHEN GROUPING(source) = 1 THEN '(all)' ELSE source END AS source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
     "w1_top1_candidate" ->
       s"""WITH $T, $K,
          |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY doc_id, term)

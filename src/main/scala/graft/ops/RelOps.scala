@@ -306,13 +306,17 @@ object RelOps {
     * (user_id), so the groupBy adds no exchange. Ordering is TOTAL
     * ((ts, event_id) — ts alone could tie) and the frame is explicit ROWS.
     * Timestamps compare in exact integer microseconds (`unix_micros` ≡
-    * DuckDB's `epoch_us`). The streaming form of this operator is Spark's
-    * built-in `session_window` aggregation (same semantics, watermarked). */
-  def w4Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    * DuckDB's `epoch_us`). The streaming form of this operator is
+    * [[graft.streaming.StreamingSessionize]] (Spark's `session_window` —
+    * identical membership semantics, proven in StreamingSessionizeSpec). */
+  def w4Sessionize(spark: SparkSession, dir: String): DataFrame =
+    w4SessionizeFor(Tables.events(spark, dir))
+
+  def w4SessionizeFor(events: DataFrame): DataFrame = {
     val gapUs = 1800L * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
+    events
       .withColumn("ts", col("ts").cast("timestamp"))
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("prev_us", lag(col("us"), 1).over(w))
@@ -375,17 +379,43 @@ object RelOps {
   /** A10: ROLLUP subtotals — the shape of every per-run report (per stage,
     * per stage-group, grand total in one pass). Spark expands the grouping
     * sets BEFORE aggregation but the partial agg still applies per set;
-    * one exchange keyed on the expanded grouping columns. Null grouping
-    * cells are labeled explicitly ("(all)") so the subtotal rows are
-    * unambiguous — and so both engines agree on a non-null sort key. */
+    * one exchange keyed on the expanded grouping columns. Subtotal rows are
+    * identified with `grouping()` — NOT by null-coalescing the cell, which
+    * would conflate a subtotal with a genuine NULL or literal "(all)" value
+    * in the data — then labeled "(all)" so both engines agree on a non-null
+    * sort key (the oracle mirrors with SQL `GROUPING()`). */
   def a10Rollup(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .rollup(col("o_orderpriority"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
-           round(sum(col("o_totalprice")), 2).as("total_price"))
-      .select(coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
-              coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+           round(sum(col("o_totalprice")), 2).as("total_price"),
+           grouping(col("o_orderpriority")).as("gp"),
+           grouping(col("o_orderstatus")).as("gs"))
+      .select(when(col("gp") === 1, lit("(all)")).otherwise(col("o_orderpriority")).as("priority"),
+              when(col("gs") === 1, lit("(all)")).otherwise(col("o_orderstatus")).as("status"),
               col("n_orders"), col("total_price"))
+
+  /** A11: CUBE / grouping-sets — every cross-dimension subtotal in ONE pass
+    * (per-lang, per-source, per-(lang,source), grand total): the corpus-card
+    * rollup a curation run publishes. Same machinery as A10 — Expand
+    * multiplies each input row by the 4 grouping sets BEFORE the partial
+    * aggregate, so map-side combine still collapses per set and the plan
+    * pays one exchange keyed on the expanded grouping columns + grouping id
+    * (plan-asserted in PlanSpec). Subtotals identified via `grouping()`,
+    * never by null-coalescing. At 100 TB the Expand factor (2^dims) is the
+    * knob to watch: 2 dims = 4× pre-agg rows, collapsed map-side to at most
+    * 4× the group cardinality — fine; 6+ dims wants explicit grouping sets
+    * instead of full CUBE. */
+  def a11Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("total_chars"),
+           grouping(col("lang")).as("gl"),
+           grouping(col("source")).as("gs"))
+      .select(when(col("gl") === 1, lit("(all)")).otherwise(col("lang")).as("lang"),
+              when(col("gs") === 1, lit("(all)")).otherwise(col("source")).as("source"),
+              col("n_docs"), col("total_chars"))
 
   /** A8: distinct (dedup across extractor overlap). */
   def a8Distinct(spark: SparkSession, dir: String): DataFrame =

@@ -151,6 +151,27 @@ object TextAnalysis {
            round(percentile(col("toks"), lit(0.95)), 4).as("p95"),
            count(lit(1)).as("n_docs"))
 
+  /** The 10^12-row scale path for [[lengthQuantiles]]: `percentile_approx`
+    * (Greenwald-Khanna-style mergeable sketch — bounded memory per group,
+    * two-phase aggregation, no per-group value materialization) at rank
+    * accuracy 1/10000. Same query shape and columns as the exact operator.
+    * No DuckDB oracle by contract: sketch internals differ across engines,
+    * so exact cross-engine hashing is impossible — instead a property test
+    * (GraphLmSpec) bounds each approx quantile by the exact operator's
+    * neighboring quantiles, which is the guarantee the sketch actually
+    * makes. The driver records the weaker rows-only check. */
+  def lengthQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("toks"))
+      .groupBy(col("lang"))
+      .agg(percentile_approx(col("toks"), lit(0.25), lit(10000)).as("p25"),
+           percentile_approx(col("toks"), lit(0.5), lit(10000)).as("p50"),
+           percentile_approx(col("toks"), lit(0.75), lit(10000)).as("p75"),
+           percentile_approx(col("toks"), lit(0.95), lit(10000)).as("p95"),
+           count(lit(1)).as("n_docs"))
+
   /** N-gram language-model quality score (the KenLM-style perplexity filter
     * every web-scale curation stack runs): train an add-one-smoothed bigram
     * model ON the corpus itself, then score each document by its mean

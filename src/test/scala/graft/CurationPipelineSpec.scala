@@ -160,4 +160,46 @@ class CurationPipelineSpec extends AnyFunSuite {
     io.drop(spark, "c4_decontaminated"); io.drop(spark, "c5_redacted"); io.drop(spark, "c6_packed")
     assert(run(resume = true) == first && first.nonEmpty)
   }
+
+  test("mid-CC kill: resume restarts from the last committed round, not the edge list") {
+    class CountingIO(root: String) extends ParquetTableIO(root) {
+      val written = scala.collection.mutable.ArrayBuffer[String]()
+      override def write(df: org.apache.spark.sql.DataFrame, table: String,
+                         partitionBy: Seq[String] = Nil): Unit = {
+        written += table; super.write(df, table, partitionBy)
+      }
+    }
+    class KillAt(root: String, table: String) extends CountingIO(root) {
+      override def write(df: org.apache.spark.sql.DataFrame, t: String,
+                         partitionBy: Seq[String] = Nil): Unit = {
+        if (t == table) throw new RuntimeException(s"injected kill before $t")
+        super.write(df, t, partitionBy)
+      }
+    }
+    def runWith(io: ParquetTableIO, resume: Boolean) =
+      new CurationPipeline(io, "t3", resume)
+        .run(spark, corpus, evalDocs = Some(evalSet), durableSignatures = true)
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+
+    val goldenIo = new CountingIO(Files.createTempDirectory("cc_kill_gold").toString)
+    val golden = runWith(goldenIo, resume = false)
+
+    // kill BETWEEN CC round commits: cc_edges + cc_round_0 land, round 1 dies
+    val dir = Files.createTempDirectory("cc_kill").toString
+    val e = intercept[RuntimeException](runWith(new KillAt(dir, "c3_cc_round_1"), resume = false))
+    assert(e.getMessage.contains("c3_cc_round_1"))
+    val onDisk = new ParquetTableIO(dir)
+    assert(onDisk.exists(spark, "c3_cc_edges") && onDisk.exists(spark, "c3_cc_round_0"))
+
+    // resume: byte-identical clusters, and the committed rounds are READ,
+    // not re-executed — only the killed round onward (and the stages after
+    // CC) are recomputed
+    val resumeIo = new CountingIO(dir)
+    assert(runWith(resumeIo, resume = true) == golden && golden.nonEmpty)
+    assert(resumeIo.written.contains("c3_cc_round_1"))
+    for (t <- Seq("c3_cc_edges", "c3_cc_round_0", "c3_minhash_sigs"))
+      assert(!resumeIo.written.contains(t), s"$t re-executed on resume: ${resumeIo.written}")
+    assert(resumeIo.written.size < goldenIo.written.size,
+      s"resume re-ran everything: ${resumeIo.written.size} vs fresh ${goldenIo.written.size}")
+  }
 }

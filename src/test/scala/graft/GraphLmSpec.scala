@@ -125,4 +125,34 @@ class GraphLmSpec extends AnyFunSuite {
     val tiny = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
     assert(TextAnalysis.lmScoreFor(tiny).count() == 0)
   }
+
+  test("approx length quantiles are bounded by the exact operator's neighbors") {
+    // percentile_approx guarantees rank error <= n/accuracy; at accuracy
+    // 10000 that is under one rank here, so each approx quantile must fall
+    // inside the exact operator's [q-0.02, q+0.02] interpolated band. The
+    // sketch has no cross-engine oracle by contract — this property IS its
+    // correctness gate.
+    val exact = Tables.documents(spark, sf)
+      .select(col("lang"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("toks"))
+      .groupBy(col("lang"))
+      .agg(percentile(col("toks"), lit(0.23)).as("lo25"), percentile(col("toks"), lit(0.27)).as("hi25"),
+           percentile(col("toks"), lit(0.48)).as("lo50"), percentile(col("toks"), lit(0.52)).as("hi50"),
+           percentile(col("toks"), lit(0.73)).as("lo75"), percentile(col("toks"), lit(0.77)).as("hi75"),
+           percentile(col("toks"), lit(0.93)).as("lo95"), percentile(col("toks"), lit(0.97)).as("hi95"))
+    val approx = TextAnalysis.lengthQuantilesApprox(spark, sf)
+    val joined = approx.join(exact, "lang").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      for (q <- Seq("25", "50", "75", "95")) {
+        val v = r.getAs[Long](s"p$q").toDouble
+        val (lo, hi) = (r.getAs[Double](s"lo$q"), r.getAs[Double](s"hi$q"))
+        assert(lo <= v && v <= hi,
+          s"lang=${r.getAs[String]("lang")} p$q=$v outside exact band [$lo,$hi]")
+      }
+    }
+    // columns and group count line up with the exact operator (drop-in shape)
+    assert(approx.columns.toSeq == TextAnalysis.lengthQuantiles(spark, sf).columns.toSeq)
+  }
 }

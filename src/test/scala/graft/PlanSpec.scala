@@ -40,6 +40,16 @@ class PlanSpec extends AnyFunSuite {
       s"no partial agg in:\n$p")
   }
 
+  test("A11: CUBE expands grouping sets BEFORE a partial agg, one exchange") {
+    val df = graft.ops.RelOps.a11Cube(spark, sf)
+    val p = plan(df)
+    assert(p.contains("Expand"), s"no Expand in:\n$p")
+    assert(p.contains("HashAggregate") && p.contains("partial"),
+      s"no partial agg over the expanded rows in:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"CUBE should pay exactly one exchange:\n$p")
+  }
+
   test("J1: small dictionary plans a BroadcastHashJoin") {
     val mentions = Extract.mentions(CorpusGen.srcFiles(spark, 20).toDF())
     val dict = Candidates.dictionary(CorpusGen.kbEntries(spark).toDF())
