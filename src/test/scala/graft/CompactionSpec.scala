@@ -61,6 +61,33 @@ class CompactionSpec extends AnyFunSuite {
       s"partition pruning lost after compaction:\n$scan")
   }
 
+  test("nested (two-level) partition layouts compact per leaf and survive") {
+    val io = new ParquetTableIO(Files.createTempDirectory("compact_nested").toString)
+    val df = (0 until 400).map(i => (i.toLong, s"p${i % 2}", s"l${i % 3}", i * 2L))
+      .toDF("id", "pred", "lang", "v").repartition(6)
+    io.write(df, "t", partitionBy = Seq("pred", "lang"))
+    assert(Compaction.partitionColumns(spark, io, "t") == Seq("pred", "lang"))
+    val rowsBefore = io.read(spark, "t").orderBy("id").collect().map(_.toString).toSeq
+    val (_, after) = Compaction.compact(spark, io, "t")
+    assert(after == 6, s"expected one file per (pred,lang) leaf, got $after")
+    assert(io.read(spark, "t").orderBy("id").collect().map(_.toString).toSeq == rowsBefore)
+    assert(Compaction.partitionColumns(spark, io, "t") == Seq("pred", "lang"))
+  }
+
+  test("a torn ._tmp (crash mid-write) is ignored and replaced by the next write") {
+    val io = new ParquetTableIO(Files.createTempDirectory("torn_tmp").toString)
+    val v1 = (0 until 30).map(i => (i.toLong, "v1")).toDF("id", "v")
+    io.write(v1, "t")
+    // simulate a writer that died mid-job: a garbage ._tmp next to a healthy dst
+    val torn = java.nio.file.Paths.get(io.root, "t._tmp")
+    Files.createDirectories(torn)
+    Files.writeString(torn.resolve("part-garbage.parquet"), "not parquet")
+    assert(io.read(spark, "t").count() == 30) // dst untouched, tmp ignored
+    io.write((0 until 40).map(i => (i.toLong, "v2")).toDF("id", "v"), "t")
+    val rows = io.read(spark, "t").collect()
+    assert(rows.length == 40 && rows.forall(_.getString(1) == "v2"))
+  }
+
   /** IO whose commit dies at a named crash point (the test seam). */
   private class CrashingIO(root: String, at: String) extends ParquetTableIO(root) {
     override protected def crashPoint(name: String): Unit =
