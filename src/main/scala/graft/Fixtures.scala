@@ -23,6 +23,17 @@ object Fixtures {
     * grammars) — the stored corpus the E3/E4/E7 extractor parity queries run
     * the production grammars against. */
   val SrcCorpusParquet: String = s"$Root/src_corpus_parquet"
+  /** Deterministic 2,000-row source for the snapshot-format parity queries
+    * (S10–S12): the DuckDB oracle reads THIS plain parquet and states the
+    * snapshot composition's semantics in SQL; the Spark side reads the
+    * composed [[io.SnapshotTable]] below. */
+  val SnapSrcParquet: String = s"$Root/snap_src_parquet"
+  /** Snapshot-table fixture built from SnapSrc in four commits —
+    * 1: overwrite evens (range-clustered), 2: append odds,
+    * 3: equality-delete doc_id%5==0, 4: re-append doc_id%10==0 (survives
+    * the earlier delete by the sequence rule). Current = %5!=0 ∪ %10==0. */
+  val SnapTableDir: String = s"$Root/snap_table"
+  def snapTable: io.SnapshotTable = new io.SnapshotTable(SnapTableDir, "t")
 
   @volatile private var done = false
 
@@ -46,7 +57,43 @@ object Fixtures {
       writeIfMissing(spark, SrcCorpusParquet,
         tmp => kg.CorpusGen.srcFiles(spark, 500).toDF()
           .coalesce(2).write.mode("overwrite").parquet(tmp))
+      writeIfMissing(spark, SnapSrcParquet,
+        tmp => snapSrc(spark).coalesce(2).write.mode("overwrite").parquet(tmp))
+      ensureSnapTable(spark)
       done = true
+    }
+  }
+
+  private def snapSrc(spark: SparkSession) = {
+    import org.apache.spark.sql.functions._
+    spark.range(0, 2000).select(
+      col("id").as("doc_id"),
+      concat(lit("lang_"), col("id") % 5).as("lang"),
+      ((col("id") * 37) % 1000 + 5).as("toks"))
+  }
+
+  /** Build the 4-commit snapshot fixture into a process-private tmp root and
+    * rename it into place (same benign-race discipline as writeIfMissing;
+    * manifests hold relative paths, so the table relocates). Completeness
+    * marker = the 4th manifest. */
+  private def ensureSnapTable(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.col
+    val fs = new Path(SnapTableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$SnapTableDir/t/meta/snap-4.json")
+    if (fs.exists(marker)) return
+    val tmpRoot = SnapTableDir + "._tmp." + ProcessHandle.current().pid()
+    if (fs.exists(new Path(tmpRoot))) fs.delete(new Path(tmpRoot), true)
+    val t = new io.SnapshotTable(tmpRoot, "t")
+    val src = spark.read.parquet(SnapSrcParquet)
+    t.writeOverwrite(src.filter(col("doc_id") % 2 === 0).repartitionByRange(8, col("doc_id")))
+    t.append(src.filter(col("doc_id") % 2 === 1))
+    t.deleteWhereKeys(src.filter(col("doc_id") % 5 === 0).select("doc_id"), Seq("doc_id"))
+    t.append(src.filter(col("doc_id") % 10 === 0))
+    val dst = new Path(SnapTableDir)
+    if (fs.exists(marker)) fs.delete(new Path(tmpRoot), true) // lost the race
+    else {
+      if (fs.exists(dst)) fs.delete(dst, true) // torn build from a crashed writer
+      if (!fs.rename(new Path(tmpRoot), dst)) fs.delete(new Path(tmpRoot), true)
     }
   }
 

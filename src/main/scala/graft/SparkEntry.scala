@@ -55,6 +55,27 @@ object SparkEntry {
       Fixtures.ensure(s)
       graft.kg.Eval.goldFromPath(s, Fixtures.GoldCsv)
     }),
+    // S10–S12: the snapshot table format (io.SnapshotTable — the Iceberg
+    // semantics the north rule names, sandbox-implemented). The fixture
+    // composes 4 commits (overwrite, append, equality-delete, re-append);
+    // the oracle states the composition's SEMANTICS in SQL over the plain
+    // source parquet — merge-on-read, the delete sequence rule, and time
+    // travel are engine-checked row for row.
+    "s10_snapshot_read" -> ((s: SparkSession, dir: String) => {
+      Fixtures.ensure(s)
+      Fixtures.snapTable.read(s).select("doc_id", "lang", "toks")
+    }),
+    "s11_snapshot_time_travel" -> ((s: SparkSession, dir: String) => {
+      Fixtures.ensure(s)
+      Fixtures.snapTable.readAt(s, 2L).select("doc_id", "lang", "toks")
+    }),
+    "s12_snapshot_pruned_read" -> ((s: SparkSession, dir: String) => {
+      Fixtures.ensure(s)
+      // stats-pruned scan: files outside [500, 899] are never opened
+      // (prune bite is asserted in SnapshotTableSpec; parity here)
+      Fixtures.snapTable.readRange(s, "doc_id", Some(500L), Some(899L))
+        .df.select("doc_id", "lang", "toks")
+    }),
     // §2.1 KB scan / §2.4 joins
     "s2_kb_dictionary"   -> RelOps.s2Kb _,
     "j1_candidates"      -> RelOps.j1Candidates _,
@@ -353,6 +374,23 @@ object SparkEntry {
          |FROM read_csv('${Fixtures.GoldCsv}/*.csv', header=true,
          |  columns={'repo':'VARCHAR','path':'VARCHAR','commit':'VARCHAR','line':'INTEGER',
          |           'kind':'VARCHAR','surface':'VARCHAR','entity_id':'BIGINT'})""".stripMargin,
+    // current snapshot = everything not equality-deleted (doc_id%5==0 at
+    // seqs 1-2) plus the seq-4 re-append of doc_id%10==0 (the delete at
+    // seq 3 does not apply to data committed after it)
+    "s10_snapshot_read" ->
+      s"""WITH src AS (SELECT doc_id, lang, toks FROM read_parquet('${Fixtures.SnapSrcParquet}/*.parquet'))
+         |SELECT doc_id, lang, toks FROM src WHERE doc_id % 5 <> 0
+         |UNION ALL
+         |SELECT doc_id, lang, toks FROM src WHERE doc_id % 10 = 0""".stripMargin,
+    // snapshot 2 = evens overwritten + odds appended = the whole source
+    "s11_snapshot_time_travel" ->
+      s"""SELECT doc_id, lang, toks
+         |FROM read_parquet('${Fixtures.SnapSrcParquet}/*.parquet')""".stripMargin,
+    "s12_snapshot_pruned_read" ->
+      s"""WITH src AS (SELECT doc_id, lang, toks FROM read_parquet('${Fixtures.SnapSrcParquet}/*.parquet')),
+         |cur AS (SELECT * FROM src WHERE doc_id % 5 <> 0
+         |        UNION ALL SELECT * FROM src WHERE doc_id % 10 = 0)
+         |SELECT doc_id, lang, toks FROM cur WHERE doc_id BETWEEN 500 AND 899""".stripMargin,
     "s2_kb_dictionary" ->
       s"""WITH $T, $K
          |SELECT entity_id, label, prior FROM kb""".stripMargin,

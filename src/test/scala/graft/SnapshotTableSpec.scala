@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.SnapshotTable
+
+/** SnapshotTable — the Iceberg-semantics layer: metadata-only commits,
+  * snapshot isolation under torn commits, time travel, equality-delete
+  * merge-on-read with the sequence rule, stats-based file skipping,
+  * rewrite_data_files and expire_snapshots. */
+class SnapshotTableSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fresh(prefix: String) =
+    new SnapshotTable(Files.createTempDirectory(prefix).toString, "t")
+
+  private def docs(from: Int, until: Int) =
+    (from until until).map(i => (i.toLong, s"lang_${i % 3}", i * 10)).toDF("doc_id", "lang", "toks")
+
+  test("overwrite + read + snapshot ids") {
+    val t = fresh("snap_basic")
+    assert(!t.exists(spark))
+    val s1 = t.writeOverwrite(docs(0, 100))
+    assert(s1 == 1L && t.currentSnapshot(spark).contains(1L))
+    assert(t.read(spark).count() == 100)
+    val s2 = t.writeOverwrite(docs(0, 40))
+    assert(s2 == 2L)
+    assert(t.read(spark).count() == 40)
+    assert(t.snapshots(spark) == Seq(1L, 2L))
+  }
+
+  test("append is metadata-only: existing data files are re-listed, not rewritten") {
+    val t = fresh("snap_append")
+    t.writeOverwrite(docs(0, 100))
+    val fs = new Path(t.location).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m1 = t.manifest(spark, 1L).get
+    val before = m1.data.map { e =>
+      val st = fs.getFileStatus(new Path(s"${t.location}/${e.path}"))
+      (e.path, st.getLen, st.getModificationTime)
+    }
+    assert(before.nonEmpty)
+
+    t.append(docs(100, 120))
+    val m2 = t.manifest(spark, 2L).get
+    // every snapshot-1 file appears verbatim in snapshot 2, untouched on disk
+    assert(m1.data.map(_.path).toSet.subsetOf(m2.data.map(_.path).toSet))
+    before.foreach { case (path, len, mtime) =>
+      val st = fs.getFileStatus(new Path(s"${t.location}/$path"))
+      assert(st.getLen == len && st.getModificationTime == mtime, s"$path was rewritten")
+    }
+    // only the appended rows are new bytes
+    val newFiles = m2.data.map(_.path).toSet -- m1.data.map(_.path).toSet
+    assert(newFiles.nonEmpty)
+    assert(m2.data.filter(e => newFiles(e.path)).map(_.rows).sum == 20)
+    assert(t.read(spark).count() == 120)
+  }
+
+  test("time travel: readAt returns each snapshot exactly") {
+    val t = fresh("snap_tt")
+    t.writeOverwrite(docs(0, 50))
+    t.append(docs(50, 80))
+    t.writeOverwrite(docs(0, 10))
+    assert(t.readAt(spark, 1L).count() == 50)
+    assert(t.readAt(spark, 2L).count() == 80)
+    assert(t.readAt(spark, 3L).count() == 10)
+    assert(t.readAt(spark, 2L).agg(sum("doc_id")).as[Long].head == (0L until 80).sum)
+  }
+
+  test("equality deletes: merge-on-read drops prior rows; later appends of the same key survive") {
+    val t = fresh("snap_del")
+    t.writeOverwrite(docs(0, 100))                                // seq 1
+    t.deleteWhereKeys(Seq(5L, 17L, 42L).toDF("doc_id"), Seq("doc_id")) // seq 2
+    val afterDel = t.read(spark).select("doc_id").as[Long].collect().toSet
+    assert(afterDel.size == 97 && !afterDel(5L) && !afterDel(17L) && !afterDel(42L))
+
+    // sequence rule: a re-insert AFTER the delete is not affected by it
+    t.append(Seq((17L, "lang_x", 999)).toDF("doc_id", "lang", "toks")) // seq 3
+    val afterRe = t.read(spark)
+    assert(afterRe.count() == 98)
+    assert(afterRe.filter($"doc_id" === 17L).select("toks").as[Int].head == 999)
+    // and the pre-delete snapshot still shows the original row (time travel)
+    assert(t.readAt(spark, 1L).filter($"doc_id" === 17L).select("toks").as[Int].head == 170)
+  }
+
+  test("rewriteDataFiles materializes merge-on-read state and clears the delete list") {
+    val t = fresh("snap_rw")
+    t.writeOverwrite(docs(0, 200))
+    t.deleteWhereKeys(docs(0, 200).filter($"doc_id" % 4 === 0).select("doc_id"), Seq("doc_id"))
+    t.append(docs(200, 220))
+    val expect = t.read(spark).orderBy("doc_id").collect().toSeq
+    val s = t.rewriteDataFiles(spark)
+    val m = t.manifest(spark, s).get
+    assert(m.deletes.isEmpty, "compaction must merge equality deletes away")
+    assert(t.read(spark).orderBy("doc_id").collect().toSeq == expect)
+    // pre-compaction snapshots remain time-travelable until expired
+    assert(t.readAt(spark, 1L).count() == 200)
+  }
+
+  test("readRange prunes files by footer min/max stats, row-exact") {
+    val t = fresh("snap_prune")
+    // range-cluster so files carry disjoint doc_id ranges (Iceberg's
+    // hidden-partitioning effect: clustered writes → tight per-file stats)
+    t.writeOverwrite(docs(0, 10000).repartitionByRange(8, col("doc_id")))
+    val pr = t.readRange(spark, "doc_id", Some(2000L), Some(2999L))
+    assert(pr.filesTotal >= 8, s"expected >=8 data files, got ${pr.filesTotal}")
+    assert(pr.filesScanned < pr.filesTotal,
+      s"prune did not bite: ${pr.filesScanned}/${pr.filesTotal}")
+    val got = pr.df.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == (2000L to 2999L).toSeq)
+    // string column pruning works off UTF-8 binary stats too
+    val prS = t.readRange(spark, "lang", Some("lang_2"), Some("lang_2"))
+    assert(prS.df.count() == t.read(spark).filter($"lang" === "lang_2").count())
+  }
+
+  test("snapshot isolation: a torn manifest is invisible to readers and stepped over by committers") {
+    val t = fresh("snap_torn")
+    t.writeOverwrite(docs(0, 60)) // seq 1
+    // simulate a committer that claimed seq 2 and died mid-stream
+    val fs = new Path(t.location).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val torn = new Path(s"${t.location}/meta/snap-2.json")
+    val out = fs.create(torn, false)
+    out.write("{\"snapshot\": 2, \"parent\": 1, \"opera".getBytes("UTF-8"))
+    out.close()
+
+    // readers: current is still snapshot 1, fully readable
+    assert(t.currentSnapshot(spark).contains(1L))
+    assert(t.read(spark).count() == 60)
+    // committers: the burned sequence is skipped, parent is the last VALID
+    val s = t.append(docs(60, 70))
+    assert(s == 3L)
+    val m = t.manifest(spark, 3L).get
+    assert(m.parent == 1L)
+    assert(t.read(spark).count() == 70)
+  }
+
+  test("expireSnapshots drops old manifests and unreferenced/orphan files, keeps current") {
+    val t = fresh("snap_expire")
+    t.writeOverwrite(docs(0, 100))     // seq 1
+    t.writeOverwrite(docs(0, 30))      // seq 2 — seq-1 files now unreferenced by current
+    t.append(docs(30, 40))             // seq 3
+    // orphan from a crashed staging write: a data dir no manifest references
+    val fs = new Path(t.location).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    docs(0, 5).write.mode("overwrite").parquet(s"${t.location}/data/orphan-dead")
+
+    val (kept, removed) = t.expireSnapshots(spark, keepLast = 2)
+    assert(kept == 2 && removed > 0)
+    assert(t.snapshots(spark) == Seq(2L, 3L))
+    assert(t.read(spark).count() == 40)
+    assert(t.readAt(spark, 2L).count() == 30)
+    assert(!fs.exists(new Path(s"${t.location}/data/orphan-dead")))
+    intercept[IllegalArgumentException](t.readAt(spark, 1L))
+    // every remaining data file is referenced by a kept manifest
+    val referenced = Seq(2L, 3L).flatMap(s => t.manifest(spark, s).get.data.map(_.path)).toSet
+    val onDisk = fs.listStatus(new Path(s"${t.location}/data")).flatMap(d =>
+      fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => s"data/${d.getPath.getName}/${f.getPath.getName}")).toSet
+    assert(onDisk == referenced)
+  }
+
+  test("empty table and misuse guards") {
+    val t = fresh("snap_guard")
+    intercept[IllegalStateException](t.read(spark))
+    intercept[IllegalStateException](t.deleteWhereKeys(Seq(1L).toDF("doc_id"), Seq("doc_id")))
+    t.writeOverwrite(docs(0, 3))
+    intercept[IllegalArgumentException](t.readAt(spark, 99L))
+  }
+}
