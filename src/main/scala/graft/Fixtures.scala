@@ -34,6 +34,17 @@ object Fixtures {
     * the earlier delete by the sequence rule). Current = %5!=0 ∪ %10==0. */
   val SnapTableDir: String = s"$Root/snap_table"
   def snapTable: io.SnapshotTable = new io.SnapshotTable(SnapTableDir, "t")
+  /** Z-ordered snapshot table over the same SnapSrc rows: commit 1 writes
+    * the source, commit 2 is `rewriteDataFilesZOrder(doc_id, toks)` — files
+    * clustered along the Morton curve so range scans on EITHER column prune
+    * (the s14 parity query range-scans `toks`, the non-prefix dimension). */
+  val ZOrderTableDir: String = s"$Root/zorder_table"
+  def zorderTable: io.SnapshotTable = new io.SnapshotTable(ZOrderTableDir, "t")
+  /** Schema-evolution snapshot table: commit 1 writes the evens WITHOUT the
+    * `toks` column; commit 2 appends the odds with it — the table schema
+    * evolves by union and the old files read `toks` as NULL (S15). */
+  val SchemaEvoTableDir: String = s"$Root/schema_evo_table"
+  def schemaEvoTable: io.SnapshotTable = new io.SnapshotTable(SchemaEvoTableDir, "t")
 
   @volatile private var done = false
 
@@ -59,7 +70,28 @@ object Fixtures {
           .coalesce(2).write.mode("overwrite").parquet(tmp))
       writeIfMissing(spark, SnapSrcParquet,
         tmp => snapSrc(spark).coalesce(2).write.mode("overwrite").parquet(tmp))
-      ensureSnapTable(spark)
+      import org.apache.spark.sql.functions.col
+      // 4-commit snapshot fixture (S10–S13): overwrite evens (range-
+      // clustered), append odds, equality-delete %5, re-append %10 (the
+      // re-append survives the earlier delete by the sequence rule)
+      ensureSnapFixture(spark, SnapTableDir, 4) { t =>
+        val src = spark.read.parquet(SnapSrcParquet)
+        t.writeOverwrite(src.filter(col("doc_id") % 2 === 0).repartitionByRange(8, col("doc_id")))
+        t.append(src.filter(col("doc_id") % 2 === 1))
+        t.deleteWhereKeys(src.filter(col("doc_id") % 5 === 0).select("doc_id"), Seq("doc_id"))
+        t.append(src.filter(col("doc_id") % 10 === 0))
+      }
+      // z-ordered table (S14): same rows, Morton-clustered on (doc_id, toks)
+      ensureSnapFixture(spark, ZOrderTableDir, 2) { t =>
+        t.writeOverwrite(spark.read.parquet(SnapSrcParquet))
+        t.rewriteDataFilesZOrder(spark, "doc_id", "toks", targetBytes = 4096)
+      }
+      // schema-evolution table (S15): evens without toks, odds with it
+      ensureSnapFixture(spark, SchemaEvoTableDir, 2) { t =>
+        val src = spark.read.parquet(SnapSrcParquet)
+        t.writeOverwrite(src.filter(col("doc_id") % 2 === 0).select("doc_id", "lang"))
+        t.append(src.filter(col("doc_id") % 2 === 1))
+      }
       done = true
     }
   }
@@ -72,24 +104,19 @@ object Fixtures {
       ((col("id") * 37) % 1000 + 5).as("toks"))
   }
 
-  /** Build the 4-commit snapshot fixture into a process-private tmp root and
+  /** Build a snapshot-table fixture into a process-private tmp root and
     * rename it into place (same benign-race discipline as writeIfMissing;
     * manifests hold relative paths, so the table relocates). Completeness
-    * marker = the 4th manifest. */
-  private def ensureSnapTable(spark: SparkSession): Unit = {
-    import org.apache.spark.sql.functions.col
-    val fs = new Path(SnapTableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(s"$SnapTableDir/t/meta/snap-4.json")
+    * marker = the `commits`-th manifest. */
+  private def ensureSnapFixture(spark: SparkSession, dir: String, commits: Int)
+                               (build: io.SnapshotTable => Unit): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$dir/t/meta/snap-$commits.json")
     if (fs.exists(marker)) return
-    val tmpRoot = SnapTableDir + "._tmp." + ProcessHandle.current().pid()
+    val tmpRoot = dir + "._tmp." + ProcessHandle.current().pid()
     if (fs.exists(new Path(tmpRoot))) fs.delete(new Path(tmpRoot), true)
-    val t = new io.SnapshotTable(tmpRoot, "t")
-    val src = spark.read.parquet(SnapSrcParquet)
-    t.writeOverwrite(src.filter(col("doc_id") % 2 === 0).repartitionByRange(8, col("doc_id")))
-    t.append(src.filter(col("doc_id") % 2 === 1))
-    t.deleteWhereKeys(src.filter(col("doc_id") % 5 === 0).select("doc_id"), Seq("doc_id"))
-    t.append(src.filter(col("doc_id") % 10 === 0))
-    val dst = new Path(SnapTableDir)
+    build(new io.SnapshotTable(tmpRoot, "t"))
+    val dst = new Path(dir)
     if (fs.exists(marker)) fs.delete(new Path(tmpRoot), true) // lost the race
     else {
       if (fs.exists(dst)) fs.delete(dst, true) // torn build from a crashed writer

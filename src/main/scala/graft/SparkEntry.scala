@@ -76,6 +76,31 @@ object SparkEntry {
       Fixtures.snapTable.readRange(s, "doc_id", Some(500L), Some(899L))
         .df.select("doc_id", "lang", "toks")
     }),
+    // S13: incremental append scan (Iceberg's incremental read — the CDC
+    // feed): rows whose data files committed in (snapshot 1, snapshot 4] =
+    // the seq-2 odds append + the seq-4 re-append; the seq-3 equality
+    // delete is NOT applied (append scan surfaces inserts only).
+    "s13_snapshot_incremental_scan" -> ((s: SparkSession, dir: String) => {
+      Fixtures.ensure(s)
+      Fixtures.snapTable.readAppendsBetween(s, 1L, 4L)
+        .select("doc_id", "lang", "toks")
+    }),
+    // S14: z-order-clustered scan — ZORDER BY (doc_id, toks) keeps per-file
+    // stats tight on BOTH dimensions; this range-scans `toks`, the
+    // NON-PREFIX dimension a linear sort cannot prune (bite asserted in
+    // SnapshotTableSpec; row-level parity checked here).
+    "s14_snapshot_zorder_scan" -> ((s: SparkSession, dir: String) => {
+      Fixtures.ensure(s)
+      Fixtures.zorderTable.readRange(s, "toks", Some(100L), Some(299L))
+        .df.select("doc_id", "lang", "toks")
+    }),
+    // S15: schema evolution — commit 1 lacks `toks`; commit 2 introduces it
+    // and the table schema evolves by union: old files read toks as NULL,
+    // exactly what the oracle's CAST(NULL AS BIGINT) branch states.
+    "s15_snapshot_schema_evolution" -> ((s: SparkSession, dir: String) => {
+      Fixtures.ensure(s)
+      Fixtures.schemaEvoTable.read(s).select("doc_id", "lang", "toks")
+    }),
     // §2.1 KB scan / §2.4 joins
     "s2_kb_dictionary"   -> RelOps.s2Kb _,
     "j1_candidates"      -> RelOps.j1Candidates _,
@@ -391,6 +416,25 @@ object SparkEntry {
          |cur AS (SELECT * FROM src WHERE doc_id % 5 <> 0
          |        UNION ALL SELECT * FROM src WHERE doc_id % 10 = 0)
          |SELECT doc_id, lang, toks FROM cur WHERE doc_id BETWEEN 500 AND 899""".stripMargin,
+    // appends in (1, 4] = the odds (seq 2) + the %10 re-append (seq 4);
+    // the seq-3 delete does not subtract from an APPEND scan
+    "s13_snapshot_incremental_scan" ->
+      s"""WITH src AS (SELECT doc_id, lang, toks FROM read_parquet('${Fixtures.SnapSrcParquet}/*.parquet'))
+         |SELECT doc_id, lang, toks FROM src WHERE doc_id % 2 = 1
+         |UNION ALL
+         |SELECT doc_id, lang, toks FROM src WHERE doc_id % 10 = 0""".stripMargin,
+    // the z-ordered table holds the whole source; a toks-range scan must be
+    // row-identical to the plain filter regardless of the file clustering
+    "s14_snapshot_zorder_scan" ->
+      s"""SELECT doc_id, lang, toks
+         |FROM read_parquet('${Fixtures.SnapSrcParquet}/*.parquet')
+         |WHERE toks BETWEEN 100 AND 299""".stripMargin,
+    // evens committed before the column existed read NULL; odds carry it
+    "s15_snapshot_schema_evolution" ->
+      s"""WITH src AS (SELECT doc_id, lang, toks FROM read_parquet('${Fixtures.SnapSrcParquet}/*.parquet'))
+         |SELECT doc_id, lang, CAST(NULL AS BIGINT) AS toks FROM src WHERE doc_id % 2 = 0
+         |UNION ALL
+         |SELECT doc_id, lang, toks FROM src WHERE doc_id % 2 = 1""".stripMargin,
     "s2_kb_dictionary" ->
       s"""WITH $T, $K
          |SELECT entity_id, label, prior FROM kb""".stripMargin,

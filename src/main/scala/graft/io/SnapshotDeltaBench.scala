@@ -119,7 +119,27 @@ object SnapshotDeltaBench {
       val (rwSec, _) = timed(snap.rewriteDataFiles(spark))
       val (snReadSec2, _) = timed(snap.read(spark).count())
 
-      println(f"""{"metric":"snapshot_delta_compose","rows":$n,"days":$days,"cpus":$cpus,"churn_pct":2.0,"pq_compose_sec":$pqComposeSec%.1f,"snap_compose_sec":$snComposeSec%.1f,"pq_bytes_written":$pqWritten,"snap_bytes_written":$snWritten,"pq_read_sec":$pqReadSec%.2f,"snap_mor_read_sec":$snReadSec%.2f,"rewrite_sec":$rwSec%.1f,"snap_read_after_rewrite_sec":$snReadSec2%.2f,"rows_out":$snRows}""")
+      // z-order vs linear clustering: same rows, rewritten two ways; a
+      // range scan on the NON-PREFIX dimension (sig0) measures what the
+      // Morton curve buys — the linear (doc_id, sig0) sort gives sig0 no
+      // locality, so its scan opens every file
+      val zt = new SnapshotTable(s"$work/zorder", "ckpt")
+      val lt = new SnapshotTable(s"$work/linear", "ckpt")
+      val base = snap.read(spark)
+      zt.writeOverwrite(base); lt.writeOverwrite(base)
+      val target = 2L * 1024 * 1024 // small files on purpose: the PRUNE FRACTION is the measurement
+      val (zRwSec, _) = timed(zt.rewriteDataFilesZOrder(spark, "doc_id", "sig0", target))
+      val (lRwSec, _) = timed(lt.rewriteDataFiles(spark, target, sortBy = Seq("doc_id", "sig0")))
+      val lo = Some(100000L); val hi = Some(149999L) // ~1/21 of the sig0 domain
+      val (zScanSec, zPr) = timed {
+        val pr = zt.readRange(spark, "sig0", lo, hi); pr.df.count(); pr
+      }
+      val (lScanSec, lPr) = timed {
+        val pr = lt.readRange(spark, "sig0", lo, hi); pr.df.count(); pr
+      }
+      require(zPr.df.count() == lPr.df.count(), "z-order scan must be row-identical")
+
+      println(f"""{"metric":"snapshot_delta_compose","rows":$n,"days":$days,"cpus":$cpus,"churn_pct":2.0,"pq_compose_sec":$pqComposeSec%.1f,"snap_compose_sec":$snComposeSec%.1f,"pq_bytes_written":$pqWritten,"snap_bytes_written":$snWritten,"pq_read_sec":$pqReadSec%.2f,"snap_mor_read_sec":$snReadSec%.2f,"rewrite_sec":$rwSec%.1f,"snap_read_after_rewrite_sec":$snReadSec2%.2f,"rows_out":$snRows,"zorder_rewrite_sec":$zRwSec%.1f,"linear_rewrite_sec":$lRwSec%.1f,"zorder_scan_sec":$zScanSec%.2f,"linear_scan_sec":$lScanSec%.2f,"zorder_files_scanned":${zPr.filesScanned},"linear_files_scanned":${lPr.filesScanned},"files_total":${zPr.filesTotal}}""")
     } finally spark.stop()
   }
 }

@@ -141,6 +141,105 @@ final class SnapshotTable(val root: String, val name: String) extends Serializab
     PrunedRead(ranged, survivors.size, m.data.size)
   }
 
+  /** Incremental APPEND scan — Iceberg's incremental read: exactly the rows
+    * whose data files were committed in the snapshot range `(fromSeq, toSeq]`.
+    * This is the changed-data feed the delta pipelines want: a consumer
+    * remembers the last snapshot it processed and reads only what landed
+    * since — a metadata-only file selection, never a diff of two full scans.
+    *
+    * Semantics match Iceberg's incremental append scan: equality deletes are
+    * NOT applied (they are surfaced separately by [[deletedKeysBetween]]),
+    * and the range must not cross an `overwrite` commit (a replace breaks
+    * the file-seq ↔ row-lineage correspondence — same restriction Iceberg
+    * enforces). `fromSeq` itself may be any committed snapshot — an
+    * overwrite AT `fromSeq` is fine (scan "since the rewrite"); `fromSeq=0`
+    * is valid only for a table whose whole history is appends. */
+  def readAppendsBetween(spark: SparkSession, fromSeq: Long, toSeq: Long): DataFrame = {
+    require(fromSeq >= 0 && toSeq > fromSeq, s"need 0 <= fromSeq < toSeq, got ($fromSeq, $toSeq]")
+    val f = fs(spark)
+    val m = readManifest(f, metaDir, toSeq).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $toSeq in $location"))
+    // walk the parent chain down to fromSeq: every commit strictly inside
+    // the range must be append-lineage (append / delete / noop)
+    var cur = m
+    while (cur.snapshot > fromSeq) {
+      require(cur.operation != "overwrite" || cur.snapshot == fromSeq,
+        s"incremental scan ($fromSeq, $toSeq] crosses overwrite at snapshot ${cur.snapshot} of $location")
+      if (cur.parent < fromSeq)
+        throw new IllegalArgumentException(
+          s"snapshot $fromSeq is not an ancestor of $toSeq in $location")
+      if (cur.parent == fromSeq || cur.parent == 0) cur = cur.copy(snapshot = fromSeq)
+      else cur = readManifest(f, metaDir, cur.parent).getOrElse(
+        throw new IllegalStateException(s"ancestor manifest ${cur.parent} missing in $location"))
+    }
+    val entries = m.data.filter(e => e.seq > fromSeq && e.seq <= toSeq)
+    readFromManifest(spark, f, m.copy(deletes = Nil), entries)
+  }
+
+  /** The equality-delete keys committed in `(fromSeq, toSeq]` whose key
+    * columns are exactly `keyCols` — the delete half of a CDC feed (pair
+    * with [[readAppendsBetween]]). Distinct keys; typed from the table
+    * schema, so an empty range still returns the right shape. */
+  def deletedKeysBetween(spark: SparkSession, fromSeq: Long, toSeq: Long,
+                         keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "deletedKeysBetween needs key columns")
+    val f = fs(spark)
+    val m = readManifest(f, metaDir, toSeq).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $toSeq in $location"))
+    val dels = m.deletes.filter(d =>
+      d.seq > fromSeq && d.seq <= toSeq && d.keys == keyCols)
+    if (dels.isEmpty) {
+      val schema = StructType(StructType.fromDDL(m.schema).fields.filter(f2 => keyCols.contains(f2.name)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else
+      dels.map(d => spark.read.parquet(s"$location/${d.path}").select(keyCols.map(col): _*))
+        .reduce(_ unionByName _).distinct()
+  }
+
+  /** Marker-idempotent append — the exactly-once streaming commit: if any
+    * retained snapshot already carries `marker` (e.g. `"<queryId>#<batchId>"`
+    * from a Structured Streaming `foreachBatch` sink), the call is a no-op
+    * and returns None; otherwise the rows are append-committed with the
+    * marker recorded in the manifest, as Iceberg stores the checkpointed
+    * batch id in its snapshot summary. The replay check runs twice: before
+    * staging (cheap fast path) and again INSIDE the claimed commit, so a
+    * retry racing a writer that died after its commit never double-appends —
+    * the loser publishes a metadata-only no-op re-listing its parent (its
+    * orphaned staging files are swept by [[expireSnapshots]]). Markers
+    * expire with their snapshots: retain at least the source's replay
+    * horizon (Structured Streaming replays only the LAST unacknowledged
+    * batch, so any retention >= 2 commits per active query suffices). */
+  def appendOnce(df: DataFrame, marker: String): Option[Long] = {
+    require(marker.nonEmpty, "appendOnce needs a non-empty marker")
+    val spark = df.sparkSession
+    if (committedMarkers(spark).contains(marker)) return None
+    val staged = stage(df, "data")
+    var replayed = false
+    val seq = commit(spark, "append") { (parent, seq) =>
+      if (committedMarkers(spark).contains(marker)) {
+        replayed = true
+        val p = parent.getOrElse(throw new IllegalStateException(
+          s"marker $marker committed but no parent manifest in $location"))
+        (p.data, p.deletes, p.schema, None) // metadata-only no-op, marker NOT re-recorded
+      } else {
+        val schema = parent match {
+          case Some(p) => evolveSchema(StructType.fromDDL(p.schema), df.schema).toDDL
+          case None    => df.schema.toDDL
+        }
+        (parent.map(_.data).getOrElse(Nil) ++ staged.map(_.at(seq)),
+         parent.map(_.deletes).getOrElse(Nil), schema, Some(marker))
+      }
+    }
+    if (replayed) None else Some(seq)
+  }
+
+  /** Markers of all committed (retained) snapshots. */
+  def committedMarkers(spark: SparkSession): Set[String] = {
+    val f = fs(spark)
+    listManifestSeqs(f, metaDir)
+      .flatMap(s => readManifest(f, metaDir, s)).flatMap(_.marker).toSet
+  }
+
   /** Data files + deletes of a manifest subset as a DataFrame. The
     * sequence rule: an equality delete drops a matching row only from data
     * files with a STRICTLY SMALLER commit sequence (Iceberg v2 semantics) —
@@ -180,18 +279,26 @@ final class SnapshotTable(val root: String, val name: String) extends Serializab
   def writeOverwrite(df: DataFrame): Long = {
     val staged = stage(df, "data")
     commit(df.sparkSession, "overwrite") { (_, seq) =>
-      (staged.map(_.at(seq)), Nil, df.schema.toDDL)
+      (staged.map(_.at(seq)), Nil, df.schema.toDDL, None)
     }
   }
 
   /** Metadata-only append: existing data files are RE-LISTED, only the new
-    * rows hit the disk. */
+    * rows hit the disk. Schema EVOLVES by union (Iceberg add-column
+    * semantics): columns the append introduces are appended to the table
+    * schema as nullable — prior files read them as NULL; columns the append
+    * omits become nullable and read NULL from the new files; a same-name
+    * type change is refused (no silent promotion). Time travel keeps each
+    * snapshot's own schema. */
   def append(df: DataFrame): Long = {
     val staged = stage(df, "data")
     commit(df.sparkSession, "append") { (parent, seq) =>
-      val schema = parent.map(_.schema).getOrElse(df.schema.toDDL)
+      val schema = parent match {
+        case Some(p) => evolveSchema(StructType.fromDDL(p.schema), df.schema).toDDL
+        case None    => df.schema.toDDL
+      }
       (parent.map(_.data).getOrElse(Nil) ++ staged.map(_.at(seq)),
-       parent.map(_.deletes).getOrElse(Nil), schema)
+       parent.map(_.deletes).getOrElse(Nil), schema, None)
     }
   }
 
@@ -208,7 +315,7 @@ final class SnapshotTable(val root: String, val name: String) extends Serializab
         throw new IllegalStateException(s"delete on empty table $location"))
       (p.data,
        p.deletes ++ staged.map(s => DeleteFileEntry(s.rel, seq, keyCols, s.rows)),
-       p.schema)
+       p.schema, None)
     }
   }
 
@@ -219,17 +326,43 @@ final class SnapshotTable(val root: String, val name: String) extends Serializab
     * remain readable until [[expireSnapshots]]. */
   def rewriteDataFiles(spark: SparkSession, targetBytes: Long = 128L * 1024 * 1024,
                        sortBy: Seq[String] = Nil): Long = {
+    val (cur, nFiles) = rewriteShape(spark, targetBytes)
+    val shaped =
+      if (sortBy.nonEmpty) cur.repartitionByRange(nFiles, sortBy.map(col): _*)
+      else cur.coalesce(nFiles)
+    writeOverwrite(shaped)
+  }
+
+  /** Z-order compaction — `rewrite_data_files` with `ZORDER BY (colA, colB)`:
+    * rows are clustered along the Morton curve of the two columns
+    * ([[ZOrder.zValue]]), so the per-file min/max stats stay tight on BOTH
+    * dimensions and [[readRange]] prunes on either one. A linear
+    * `sortBy(a, b)` gives `b` no locality at all; the z-curve gives each of
+    * the two dimensions ~√nFiles-factor pruning (asserted in
+    * SnapshotTableSpec, measured in SnapshotDeltaBench). The z value is
+    * computed from codegen'd bitwise built-ins, used only as the
+    * shuffle/sort key, and never written. */
+  def rewriteDataFilesZOrder(spark: SparkSession, colA: String, colB: String,
+                             targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val (cur, nFiles) = rewriteShape(spark, targetBytes)
+    val z = "__graft_z"
+    val shaped = cur.withColumn(z, ZOrder.zValue(col(colA), col(colB)))
+      .repartitionByRange(nFiles, col(z))
+      .sortWithinPartitions(z)
+      .drop(z)
+    writeOverwrite(shaped)
+  }
+
+  /** Current table + target file count for a compaction rewrite, derived
+    * from the CURRENT on-disk byte total (manifest metadata, no data scan). */
+  private def rewriteShape(spark: SparkSession, targetBytes: Long): (DataFrame, Int) = {
     val cur = read(spark)
     val bytes = {
       val f = fs(spark)
       val m = readManifest(f, metaDir, currentSnapshot(spark).get).get
       m.data.map(_.bytes).sum
     }
-    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val shaped =
-      if (sortBy.nonEmpty) cur.repartitionByRange(nFiles, sortBy.map(col): _*)
-      else cur.coalesce(nFiles)
-    writeOverwrite(shaped)
+    (cur, math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt)
   }
 
   /** Keep the last `keepLast` snapshots; drop older manifests, torn claim
@@ -292,7 +425,7 @@ final class SnapshotTable(val root: String, val name: String) extends Serializab
     * `build(parentManifest, claimedSeq)` into it. See class doc for the
     * crash/concurrency contract. */
   private def commit(spark: SparkSession, op: String)
-                    (build: (Option[Manifest], Long) => (Seq[DataFileEntry], Seq[DeleteFileEntry], String)): Long = {
+                    (build: (Option[Manifest], Long) => (Seq[DataFileEntry], Seq[DeleteFileEntry], String, Option[String])): Long = {
     val f = fs(spark)
     f.mkdirs(new Path(metaDir))
     @tailrec def attempt(tries: Int): Long = {
@@ -303,9 +436,14 @@ final class SnapshotTable(val root: String, val name: String) extends Serializab
         catch { case _: java.io.IOException => None }
       claimed match {
         case Some(out) =>
-          val parent = settleParent(f, target)
-          val (data, deletes, schema) = build(parent, target)
-          val m = Manifest(target, parent.map(_.snapshot).getOrElse(0L), op, schema, data, deletes)
+          // a build that THROWS (e.g. refused schema evolution) leaves the
+          // claimed file empty = a torn manifest: invisible to readers,
+          // stepped over by the next committer — a safe burned sequence
+          val m = try {
+            val parent = settleParent(f, target)
+            val (data, deletes, schema, marker) = build(parent, target)
+            Manifest(target, parent.map(_.snapshot).getOrElse(0L), op, schema, data, deletes, marker)
+          } catch { case e: Throwable => out.close(); throw e }
           val bytes = manifestJson(m).getBytes(java.nio.charset.StandardCharsets.UTF_8)
           try { out.write(bytes) } finally out.close()
           target
@@ -347,8 +485,11 @@ object SnapshotTable {
   final case class DataFileEntry(path: String, seq: Long, rows: Long, bytes: Long,
                                  stats: Map[String, ColumnStats])
   final case class DeleteFileEntry(path: String, seq: Long, keys: Seq[String], rows: Long)
+  /** `marker` carries an idempotence key for [[SnapshotTable.appendOnce]]
+    * (Iceberg stores the same thing as a snapshot-summary property). */
   final case class Manifest(snapshot: Long, parent: Long, operation: String, schema: String,
-                            data: Seq[DataFileEntry], deletes: Seq[DeleteFileEntry])
+                            data: Seq[DataFileEntry], deletes: Seq[DeleteFileEntry],
+                            marker: Option[String] = None)
   final case class PrunedRead(df: DataFrame, filesScanned: Int, filesTotal: Int)
 
   private[io] final case class StagedFile(rel: String, rows: Long, bytes: Long,
@@ -357,6 +498,25 @@ object SnapshotTable {
   }
 
   private implicit val formats: Formats = DefaultFormats
+
+  /** Append-time schema evolution: same-name fields must keep their exact
+    * type (refused otherwise — no silent promotion); fields present on only
+    * one side survive as NULLABLE, because some data files will lack them
+    * and the explicit-schema parquet read fills NULL. Column order: parent
+    * first, new columns appended (Iceberg's add-column placement). */
+  private[io] def evolveSchema(parent: StructType, next: StructType): StructType = {
+    parent.fields.foreach { p =>
+      next.fields.find(_.name == p.name).foreach { n =>
+        require(n.dataType == p.dataType,
+          s"schema evolution cannot change '${p.name}': ${p.dataType.sql} -> ${n.dataType.sql}")
+      }
+    }
+    StructType(
+      parent.fields.map(p =>
+        if (next.fieldNames.contains(p.name)) p else p.copy(nullable = true)) ++
+      next.fields.filterNot(f => parent.fieldNames.contains(f.name))
+        .map(_.copy(nullable = true)))
+  }
 
   private[io] def manifestJson(m: Manifest): String =
     JsonMethods.pretty(JsonMethods.render(Extraction.decompose(m)))

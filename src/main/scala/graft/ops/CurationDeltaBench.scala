@@ -66,7 +66,25 @@ object CurationDeltaBench {
       }
       require(deltaOut == fullOut,
         s"delta ($deltaOut) != full ($fullOut) survivors on v2")
-      println(f"""{"metric":"curation_delta","docs":$nDocs,"cpus":$cpus,"base_v1_sec":$baseSec%.1f,"delta_sec":$deltaSec%.1f,"full_v2_sec":$fullSec%.1f,"survivors":$deltaOut,"delta_over_full":${deltaSec / fullSec}%.2f}""")
+      // CDC variant: the corpus lives in a snapshot table, churn arrives as
+      // upsert commits, and d0's churn keys come from snapshot METADATA
+      // (runDeltaFromSnapshots) instead of the two-full-scan sha diff
+      val corpus = new graft.io.SnapshotTable(s"$work/corpus", "docs")
+      corpus.writeOverwrite(v1) // snapshot 1 — the state the base run saw
+      val staleIds = spark.range(0, nDocs).select(col("id").as("doc_id"))
+        .filter(col("doc_id") % 200 === 5 || col("doc_id") % 400 === 7)
+      val appendedRows = v2.filter(
+        (col("doc_id") % 200 === 5 && col("doc_id") < nDocs) || col("doc_id") >= nDocs)
+      corpus.deleteWhereKeys(staleIds, Seq("doc_id")) // snapshot 2
+      corpus.append(appendedRows)                     // snapshot 3
+      val (cdcSec, cdcOut) = timed {
+        new CurationPipeline(new ParquetTableIO(s"$work/v2cdc"), "cdb-cdc")
+          .runDeltaFromSnapshots(spark, corpus, 1L, new ParquetTableIO(s"$work/v1"))
+          .count()
+      }
+      require(cdcOut == fullOut,
+        s"CDC delta ($cdcOut) != full ($fullOut) survivors on v2")
+      println(f"""{"metric":"curation_delta","docs":$nDocs,"cpus":$cpus,"base_v1_sec":$baseSec%.1f,"delta_sec":$deltaSec%.1f,"cdc_delta_sec":$cdcSec%.1f,"full_v2_sec":$fullSec%.1f,"survivors":$deltaOut,"delta_over_full":${deltaSec / fullSec}%.2f,"cdc_over_full":${cdcSec / fullSec}%.2f}""")
     } finally spark.stop()
   }
 }

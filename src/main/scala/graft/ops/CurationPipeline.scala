@@ -241,7 +241,8 @@ final class CurationPipeline(val io: TableIO, val runId: String,
                evalDocs: Option[DataFrame] = None, decontamMinHits: Long = 1L,
                trainUpper256: Int = 236, valUpper256: Int = 246,
                packBudget: Int = 1024, packShards: Int = 32,
-               stripSpanTokens: Int = 0, stripSpanStride: Int = 0): DataFrame = {
+               stripSpanTokens: Int = 0, stripSpanStride: Int = 0,
+               churnKeys: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     stageParams = paramsHash(langs.mkString(","), minQualityPpm, minAlphaPpm,
       minTokens, evalDocs.isDefined, decontamMinHits, trainUpper256,
       valUpper256, packBudget, packShards, seed, stripSpanTokens,
@@ -265,10 +266,28 @@ final class CurationPipeline(val io: TableIO, val runId: String,
     val curShas = stage(spark, "d0_cur_shas",
       curIngested.select(col("doc_id"), col("sha256")))
     val prevShas = prevC0.select(col("doc_id"), col("sha256"))
-    val changedKeys = stage(spark, "d0_changed_keys",
-      curShas.join(prevShas, Seq("doc_id", "sha256"), "left_anti").select(col("doc_id")))
-    val staleKeys = stage(spark, "d0_stale_keys",
-      prevShas.join(curShas, Seq("doc_id", "sha256"), "left_anti").select(col("doc_id")))
+    // churnKeys = (appended ids, deleted ids) from table metadata (snapshot
+    // CDC — runDeltaFromSnapshots) replaces the corpus-wide sha diff:
+    //   changed := appended ∩ current   (an append later deleted is not cur)
+    //   stale   := (appended ∪ deleted) ∩ prev
+    // Safe supersets of the sha-diff sets: a same-content rewrite lands in
+    // both (recompute = identical rows, output unchanged), and every stale
+    // id not in changed is genuinely gone from the corpus — the composition
+    // invariant (stale ∖ changed ⊆ deleted) that the golden test pins.
+    val (changedKeys, staleKeys) = churnKeys match {
+      case Some((appended, deleted)) =>
+        (stage(spark, "d0_changed_keys",
+           appended.select(col("doc_id")).distinct()
+             .join(curShas, Seq("doc_id"), "left_semi")),
+         stage(spark, "d0_stale_keys",
+           appended.select(col("doc_id")).unionByName(deleted.select(col("doc_id")))
+             .distinct().join(prevShas, Seq("doc_id"), "left_semi")))
+      case None =>
+        (stage(spark, "d0_changed_keys",
+           curShas.join(prevShas, Seq("doc_id", "sha256"), "left_anti").select(col("doc_id"))),
+         stage(spark, "d0_stale_keys",
+           prevShas.join(curShas, Seq("doc_id", "sha256"), "left_anti").select(col("doc_id"))))
+    }
 
     // c0 composed: unchanged rows from prev, changed/new rows re-ingested —
     // unchanged text never re-hashes (and on Iceberg never moves)
@@ -383,6 +402,39 @@ final class CurationPipeline(val io: TableIO, val runId: String,
     packStage(spark,
       s5.select(col("doc_id"), col("lang"), col("source")).join(toks, Seq("doc_id")),
       trainUpper256, valUpper256, packBudget, packShards)
+  }
+
+  /** Delta run over a corpus that LIVES in a [[graft.io.SnapshotTable]]
+    * maintained by upsert commits (deleteWhereKeys-then-append for
+    * modifications, append for adds, deleteWhereKeys for removals — the
+    * discipline the streaming sink and any CDC writer follow): the churn
+    * key sets come from SNAPSHOT METADATA — S13's incremental append scan
+    * plus the range's equality-delete files — instead of a sha diff of two
+    * full corpus scans. This is runDelta's documented "on Iceberg the
+    * changed/stale sets come from snapshot diff metadata" path, delivered:
+    * d0's cost drops from O(corpus) reads on both sides to O(churn) reads
+    * plus a manifest walk. `fromSeq` is the snapshot the previous run
+    * processed (pass its `currentSnapshot` alongside prevIo day over day).
+    * Output ≡ the sha-diff delta ≡ a full run, golden-tested in
+    * CurationDeltaSpec. */
+  def runDeltaFromSnapshots(spark: SparkSession, corpus: graft.io.SnapshotTable,
+                            fromSeq: Long, prevIo: TableIO,
+                            langs: Seq[String] = Seq("en", "de", "es", "fr", "zh"),
+                            minQualityPpm: Long = 400000L, minAlphaPpm: Long = 500000L,
+                            minTokens: Long = 5L,
+                            evalDocs: Option[DataFrame] = None, decontamMinHits: Long = 1L,
+                            trainUpper256: Int = 236, valUpper256: Int = 246,
+                            packBudget: Int = 1024, packShards: Int = 32,
+                            stripSpanTokens: Int = 0, stripSpanStride: Int = 0): DataFrame = {
+    val head = corpus.currentSnapshot(spark).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in ${corpus.location}"))
+    require(head > fromSeq, s"nothing newer than snapshot $fromSeq in ${corpus.location}")
+    val appended = corpus.readAppendsBetween(spark, fromSeq, head).select(col("doc_id"))
+    val deleted = corpus.deletedKeysBetween(spark, fromSeq, head, Seq("doc_id"))
+    runDelta(spark, corpus.read(spark), prevIo, langs, minQualityPpm, minAlphaPpm,
+      minTokens, evalDocs, decontamMinHits, trainUpper256, valUpper256,
+      packBudget, packShards, stripSpanTokens, stripSpanStride,
+      churnKeys = Some((appended, deleted)))
   }
 }
 

@@ -103,6 +103,32 @@ class CurationDeltaSpec extends AnyFunSuite {
     assert(!got.contains("[0,") && !got.contains("[1,") && !got.contains("[91,"))
   }
 
+  test("CDC delta: churn keys from snapshot metadata ≡ sha-diff delta ≡ full run") {
+    // the corpus LIVES in a snapshot table maintained by upsert commits
+    val corpus = new graft.io.SnapshotTable(
+      Files.createTempDirectory("cdelta_snap").toString, "docs")
+    corpus.writeOverwrite(df(v1Rows))                                    // snapshot 1
+    val (ioV1, _) = fullRun(v1Rows, "cdc_v1")
+    // v1 → v2 churn as CDC commits: delete removals (0, 1) and the
+    // modify's old row (2); append the modified 2 and the adds (90, 91)
+    corpus.deleteWhereKeys(Seq(0L, 1L, 2L).toDF("doc_id"), Seq("doc_id")) // snapshot 2
+    corpus.append(df(v2Rows.filter(r => Set(2L, 90L, 91L)(r._1))))        // snapshot 3
+    assert(corpus.read(spark).orderBy("doc_id").collect().toSeq
+      == df(v2Rows).orderBy("doc_id").collect().toSeq, "upsert composition must equal v2")
+
+    val io = new ParquetTableIO(Files.createTempDirectory("cdelta_cdc").toString)
+    val got = new CurationPipeline(io, "cdc")
+      .runDeltaFromSnapshots(spark, corpus, fromSeq = 1L, prevIo = ioV1,
+                             evalDocs = Some(evalSet))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val (ioRef, ref) = fullRun(v2Rows, "cdc_ref")
+    assert(got == ref && ref.nonEmpty, "CDC-keyed delta must equal the full run")
+    assert(productText(io) == productText(ioRef))
+    // the metadata-derived churn sets are exactly the upserted keys
+    assert(io.read(spark, "d0_changed_keys").as[Long].collect().toSet == Set(2L, 90L, 91L))
+    assert(io.read(spark, "d0_stale_keys").as[Long].collect().toSet == Set(0L, 1L, 2L))
+  }
+
   test("delta chains day over day: v1 → Δv2 → Δv3 equals full v3") {
     val (ioV1, _) = fullRun(v1Rows, "c_v1")
     val (ioD2, _) = deltaRun(v2Rows, ioV1, "c_v2")

@@ -162,6 +162,118 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(onDisk == referenced)
   }
 
+  test("incremental append scan: exactly the rows committed in (from, to], deletes not applied") {
+    val t = fresh("snap_incr")
+    t.writeOverwrite(docs(0, 50))                                        // seq 1 (create)
+    t.append(docs(50, 70))                                               // seq 2
+    t.deleteWhereKeys(Seq(3L, 55L).toDF("doc_id"), Seq("doc_id"))        // seq 3
+    t.append(docs(70, 80))                                               // seq 4
+
+    // since the creating overwrite: both appended batches, and the deleted
+    // key 55 still PRESENT (append scan surfaces inserts only — Iceberg's
+    // incremental read semantics; deletes travel separately below)
+    val inc = t.readAppendsBetween(spark, 1L, 4L).select("doc_id").as[Long].collect().toSet
+    assert(inc == (50L until 80L).toSet)
+    // a narrower window sees only its own batch
+    assert(t.readAppendsBetween(spark, 2L, 4L).select("doc_id").as[Long].collect().toSet
+      == (70L until 80L).toSet)
+    // the delete-only window appends nothing
+    assert(t.readAppendsBetween(spark, 2L, 3L).count() == 0)
+
+    // the delete half of the CDC feed
+    val delKeys = t.deletedKeysBetween(spark, 1L, 4L, Seq("doc_id")).as[Long].collect().toSet
+    assert(delKeys == Set(3L, 55L))
+    // empty range still returns the right shape, typed from the table schema
+    val none = t.deletedKeysBetween(spark, 3L, 4L, Seq("doc_id"))
+    assert(none.count() == 0 && none.schema.fieldNames.toSeq == Seq("doc_id"))
+  }
+
+  test("incremental scan refuses to cross an overwrite; re-anchors at it") {
+    val t = fresh("snap_incr_ow")
+    t.writeOverwrite(docs(0, 30))   // seq 1
+    t.append(docs(30, 40))          // seq 2
+    t.rewriteDataFiles(spark)       // seq 3 — an overwrite commit
+    t.append(docs(40, 45))          // seq 4
+    intercept[IllegalArgumentException](t.readAppendsBetween(spark, 1L, 4L))
+    // consumers re-anchor at the rewrite snapshot and continue
+    assert(t.readAppendsBetween(spark, 3L, 4L).select("doc_id").as[Long].collect().toSet
+      == (40L until 45L).toSet)
+    // nonsense ranges are refused
+    intercept[IllegalArgumentException](t.readAppendsBetween(spark, 99L, 4L))
+  }
+
+  test("appendOnce: duplicate markers are metadata no-ops — the exactly-once seam") {
+    val t = fresh("snap_once")
+    assert(t.appendOnce(docs(0, 10), "q#0").contains(1L))
+    assert(t.appendOnce(docs(10, 20), "q#1").contains(2L))
+    // replayed batch: fast-path no-op, no new snapshot, rows unchanged
+    assert(t.appendOnce(docs(10, 20), "q#1").isEmpty)
+    assert(t.snapshots(spark) == Seq(1L, 2L))
+    assert(t.read(spark).count() == 20)
+    assert(t.committedMarkers(spark) == Set("q#0", "q#1"))
+    // a second query id sharing the table namespaces independently
+    assert(t.appendOnce(docs(20, 25), "r#1").contains(3L))
+    assert(t.read(spark).count() == 25)
+    // markers survive in manifests, and the manifest records them
+    assert(t.manifest(spark, 3L).get.marker.contains("r#1"))
+  }
+
+  test("zValue interleaves bits; z-order rewrite prunes on BOTH dimensions") {
+    import graft.io.ZOrder
+    // bit-exact spot checks: a-bits land even, b-bits odd
+    val z = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (63L, 63L))
+      .toDF("a", "b").select(ZOrder.zValue(col("a"), col("b"))).as[Long].collect().toSeq
+    assert(z == Seq(0L, 1L, 2L, 39L, 4095L))
+
+    // 64×64 grid; rows arrive z-hostile (ordered by x then y)
+    val grid = spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), expr("id div 64").as("y"))
+    val lin = fresh("snap_lin"); val zt = fresh("snap_zord")
+    lin.writeOverwrite(grid); zt.writeOverwrite(grid)
+    lin.rewriteDataFiles(spark, targetBytes = 400, sortBy = Seq("x", "y"))
+    zt.rewriteDataFilesZOrder(spark, "x", "y", targetBytes = 400)
+
+    val want = (0L until 4096L).filter(i => i / 64 >= 8 && i / 64 <= 15)
+      .map(i => (i % 64, i / 64)).toSet
+    val zPrune = zt.readRange(spark, "y", Some(8L), Some(15L))
+    val lPrune = lin.readRange(spark, "y", Some(8L), Some(15L))
+    // row-exact on both layouts
+    assert(zPrune.df.select("x", "y").as[(Long, Long)].collect().toSet == want)
+    assert(lPrune.df.select("x", "y").as[(Long, Long)].collect().toSet == want)
+    // linear (x,y) sort gives y NO locality — every file spans the full y
+    // range; the z-curve keeps files square-ish so the y-scan prunes hard
+    assert(zPrune.filesTotal >= 8)
+    assert(lPrune.filesScanned == lPrune.filesTotal,
+      s"unexpected linear-layout y prune: ${lPrune.filesScanned}/${lPrune.filesTotal}")
+    assert(zPrune.filesScanned * 2 <= zPrune.filesTotal,
+      s"z-order y prune too weak: ${zPrune.filesScanned}/${zPrune.filesTotal}")
+    // and x-pruning still bites on the z layout too
+    val zx = zt.readRange(spark, "x", Some(0L), Some(7L))
+    assert(zx.filesScanned < zx.filesTotal)
+    assert(zx.df.count() == 8 * 64)
+  }
+
+  test("schema evolution: appends add nullable columns, old files read NULL, type change refused") {
+    val t = fresh("snap_evo")
+    t.writeOverwrite(docs(0, 10).select("doc_id", "lang"))   // 2-column table
+    t.append(docs(10, 15))                                   // introduces toks
+    val cur = t.read(spark)
+    assert(cur.schema.fieldNames.toSeq == Seq("doc_id", "lang", "toks"))
+    assert(cur.filter($"doc_id" < 10 && $"toks".isNull).count() == 10)
+    assert(cur.filter($"doc_id" >= 10 && $"toks".isNotNull).count() == 5)
+    // an append that OMITS a column: its new files read NULL for it
+    t.append(docs(15, 18).select("doc_id", "toks"))
+    val cur2 = t.read(spark)
+    assert(cur2.count() == 18)
+    assert(cur2.filter($"doc_id" >= 15 && $"lang".isNull).count() == 3)
+    // time travel keeps each snapshot's own schema
+    assert(t.readAt(spark, 1L).schema.fieldNames.toSeq == Seq("doc_id", "lang"))
+    // silent type promotion is refused
+    intercept[IllegalArgumentException](
+      t.append(docs(18, 19).withColumn("toks", lit("oops"))))
+    assert(t.read(spark).count() == 18, "refused append must not commit")
+  }
+
   test("empty table and misuse guards") {
     val t = fresh("snap_guard")
     intercept[IllegalStateException](t.read(spark))
