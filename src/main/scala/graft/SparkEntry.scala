@@ -101,6 +101,17 @@ object SparkEntry {
       Fixtures.ensure(s)
       Fixtures.schemaEvoTable.read(s).select("doc_id", "lang", "toks")
     }),
+    // S16: Catalyst-integrated file skipping — the same filtered read as S12
+    // but through the SnapshotFileIndex relation: a plain .filter prunes
+    // data files inside Spark's scan planning (Delta/Iceberg shape; the
+    // prune bite + plan determinism are asserted in SnapshotFileIndexSpec,
+    // row-level parity is checked here).
+    "s16_indexed_scan" -> ((s: SparkSession, dir: String) => {
+      Fixtures.ensure(s)
+      Fixtures.snapTable.readIndexed(s).df
+        .filter(col("doc_id").between(500, 899))
+        .select("doc_id", "lang", "toks")
+    }),
     // §2.1 KB scan / §2.4 joins
     "s2_kb_dictionary"   -> RelOps.s2Kb _,
     "j1_candidates"      -> RelOps.j1Candidates _,
@@ -435,6 +446,13 @@ object SparkEntry {
          |SELECT doc_id, lang, CAST(NULL AS BIGINT) AS toks FROM src WHERE doc_id % 2 = 0
          |UNION ALL
          |SELECT doc_id, lang, toks FROM src WHERE doc_id % 2 = 1""".stripMargin,
+    // same current-state semantics as s12 — the indexed scan's automatic
+    // file skipping must not change a single row
+    "s16_indexed_scan" ->
+      s"""WITH src AS (SELECT doc_id, lang, toks FROM read_parquet('${Fixtures.SnapSrcParquet}/*.parquet')),
+         |cur AS (SELECT * FROM src WHERE doc_id % 5 <> 0
+         |        UNION ALL SELECT * FROM src WHERE doc_id % 10 = 0)
+         |SELECT doc_id, lang, toks FROM cur WHERE doc_id BETWEEN 500 AND 899""".stripMargin,
     "s2_kb_dictionary" ->
       s"""WITH $T, $K
          |SELECT entity_id, label, prior FROM kb""".stripMargin,

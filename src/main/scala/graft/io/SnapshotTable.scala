@@ -111,6 +111,39 @@ final class SnapshotTable(val root: String, val name: String) extends Serializab
     readFromManifest(spark, f, m, m.data)
   }
 
+  /** The table as a CATALYST-INTEGRATED relation (the Delta/Iceberg
+    * integration shape): the scan's file listing is a [[SnapshotFileIndex]]
+    * over this snapshot's manifest, so ANY filter Catalyst pushes toward the
+    * scan — `.filter(...)`, a `WHERE` through a temp view — prunes data
+    * files by manifest min/max stats automatically, at plan time, with no
+    * explicit [[readRange]] call and no filesystem listing. Equality deletes
+    * are applied on top (merge-on-read), same as [[read]]; row-level results
+    * are identical to [[read]] by construction (asserted in
+    * SnapshotFileIndexSpec). Returns the frame plus the index so callers
+    * can assert how hard the prune bit. */
+  def readIndexed(spark: SparkSession): IndexedRead =
+    readIndexedAt(spark, currentSnapshot(spark).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $location")))
+
+  def readIndexedAt(spark: SparkSession, seq: Long): IndexedRead = {
+    val f = fs(spark)
+    val m = readManifest(f, metaDir, seq).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $seq in $location"))
+    val schema = StructType.fromDDL(m.schema)
+    if (m.data.isEmpty)
+      return IndexedRead(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+        new SnapshotFileIndex(spark, location, Nil, schema))
+    val index = new SnapshotFileIndex(spark, location, m.data, schema)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, new StructType(), schema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      Map.empty[String, String])(spark)
+    val base = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(relation)
+    IndexedRead(applyDeletes(spark, f, m, m.data, base), index)
+  }
+
   /** Stats-pruned range scan on one column: files whose [min,max] cannot
     * intersect [lower,upper] are never opened (bounds are inclusive; a
     * missing bound is unbounded). Row-exact: the residual range filter is
@@ -252,11 +285,21 @@ final class SnapshotTable(val root: String, val name: String) extends Serializab
     if (entries.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val df = spark.read.schema(schema).parquet(entries.map(e => s"$location/${e.path}"): _*)
+    applyDeletes(spark, f, m, entries, df)
+  }
+
+  /** Merge-on-read over an already-built scan of `entries`. */
+  private def applyDeletes(spark: SparkSession, f: FileSystem, m: Manifest,
+                           entries: Seq[DataFileEntry], df: DataFrame): DataFrame = {
     if (m.deletes.isEmpty) return df
     val pathSeq = spark.createDataFrame(entries.map(e => (absPath(f, e.path), e.seq)))
       .toDF(FileCol, DataSeqCol)
+    // rows learn their file from the DETERMINISTIC `_metadata.file_path`
+    // column (not input_file_name(), whose nondeterminism would fence off
+    // predicate pushdown below this projection — the indexed read's file
+    // skipping depends on filters reaching the scan)
     val tagged = df
-      .withColumn(FileCol, regexp_replace(input_file_name(), "^[a-z0-9+.-]+:/+", "/"))
+      .withColumn(FileCol, regexp_replace(col("_metadata.file_path"), "^[a-z0-9+.-]+:/+", "/"))
       .join(broadcast(pathSeq), FileCol)
     val out = m.deletes.groupBy(_.keys).foldLeft(tagged) { case (acc, (keys, dels)) =>
       val delKeys = dels.map { d =>
@@ -316,6 +359,28 @@ final class SnapshotTable(val root: String, val name: String) extends Serializab
       (p.data,
        p.deletes ++ staged.map(s => DeleteFileEntry(s.rel, seq, keyCols, s.rows)),
        p.schema, None)
+    }
+  }
+
+  /** Row-level MERGE (upsert) in ONE atomic commit: rows of `df` replace any
+    * prior rows sharing their key and insert otherwise. Implemented as an
+    * equality delete of `df`'s keys plus a data append CARRYING THE SAME
+    * SEQUENCE — the v2 sequence rule (a delete drops only STRICTLY older
+    * data) makes the new rows survive their own delete, so no read-modify-
+    * write of existing files ever happens: the commit moves only `df`'s
+    * bytes, exactly Iceberg's merge-on-read MERGE INTO. A crash between
+    * nothing and everything: both halves live in one manifest. CDC consumers
+    * see the upsert as (deleted keys, appended rows) at one sequence. */
+  def upsert(df: DataFrame, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "upsert needs key columns")
+    val stagedData = stage(df, "data")
+    val stagedDel  = stage(df.select(keyCols.map(col): _*).distinct(), "deletes")
+    commit(df.sparkSession, "upsert") { (parent, seq) =>
+      val p = parent.getOrElse(
+        throw new IllegalStateException(s"upsert into empty table $location — writeOverwrite first"))
+      (p.data ++ stagedData.map(_.at(seq)),
+       p.deletes ++ stagedDel.map(s => DeleteFileEntry(s.rel, seq, keyCols, s.rows)),
+       evolveSchema(StructType.fromDDL(p.schema), df.schema).toDDL, None)
     }
   }
 
@@ -491,6 +556,8 @@ object SnapshotTable {
                             data: Seq[DataFileEntry], deletes: Seq[DeleteFileEntry],
                             marker: Option[String] = None)
   final case class PrunedRead(df: DataFrame, filesScanned: Int, filesTotal: Int)
+  /** A Catalyst-integrated scan + its file index (for prune assertions). */
+  final case class IndexedRead(df: DataFrame, index: SnapshotFileIndex)
 
   private[io] final case class StagedFile(rel: String, rows: Long, bytes: Long,
                                           stats: Map[String, ColumnStats]) {

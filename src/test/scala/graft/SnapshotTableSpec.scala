@@ -87,6 +87,35 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.readAt(spark, 1L).filter($"doc_id" === 17L).select("toks").as[Int].head == 170)
   }
 
+  test("upsert: one commit replaces matching keys and inserts the rest, moving only the new bytes") {
+    val t = fresh("snap_upsert")
+    t.writeOverwrite(docs(0, 100))
+    val m1 = t.manifest(spark, 1L).get
+    // modify 10, 11 (new toks) and insert 200, 201 — one commit
+    val up = Seq((10L, "lang_x", -1), (11L, "lang_x", -2),
+                 (200L, "lang_x", 2000), (201L, "lang_x", 2010))
+      .toDF("doc_id", "lang", "toks")
+    val s = t.upsert(up, Seq("doc_id"))
+    assert(s == 2L && t.snapshots(spark) == Seq(1L, 2L))
+    val cur = t.read(spark)
+    assert(cur.count() == 102)
+    assert(cur.filter($"doc_id" === 10L).select("toks").as[Int].head() == -1)
+    assert(cur.filter($"doc_id" === 200L).count() == 1)
+    assert(cur.filter($"doc_id" === 50L).select("toks").as[Int].head() == 500) // untouched key intact
+    // metadata-only against existing data: snapshot-1 files re-listed verbatim
+    val m2 = t.manifest(spark, 2L).get
+    assert(m1.data.map(_.path).toSet.subsetOf(m2.data.map(_.path).toSet))
+    assert(m2.deletes.exists(d => d.seq == 2L && d.keys == Seq("doc_id")))
+    // CDC view of the upsert: its keys as deletes, its rows as appends, one seq
+    assert(t.deletedKeysBetween(spark, 1L, 2L, Seq("doc_id")).as[Long].collect().sorted
+           sameElements Array(10L, 11L, 200L, 201L))
+    assert(t.readAppendsBetween(spark, 1L, 2L).count() == 4)
+    // a later upsert of an upserted key still wins (sequence rule chains)
+    t.upsert(Seq((10L, "lang_y", -7)).toDF("doc_id", "lang", "toks"), Seq("doc_id"))
+    assert(t.read(spark).filter($"doc_id" === 10L).select("toks").as[Int].head() == -7)
+    assert(t.read(spark).count() == 102)
+  }
+
   test("rewriteDataFiles materializes merge-on-read state and clears the delete list") {
     val t = fresh("snap_rw")
     t.writeOverwrite(docs(0, 200))
