@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Curation, Dedup, DocOps, GraphOps, Multimodal, Packing, RelOps, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Bpe, Curation, Dedup, DocOps, GraphOps, Multimodal, Packing, RelOps, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -135,6 +135,7 @@ object SparkEntry {
     "a9_counters"        -> RelOps.a9Counters _,
     "a10_rollup"         -> RelOps.a10Rollup _,
     "a11_cube"           -> RelOps.a11Cube _,
+    "a12_pivot"          -> RelOps.a12Pivot _,
     // §2.6 windows, §2.7 sort/limit, §2.8 set ops
     "w1_top1_candidate"  -> RelOps.w1Top1 _,
     "w2_moving_sum"      -> RelOps.w2MovingSum _,
@@ -186,6 +187,10 @@ object SparkEntry {
     "kg_two_hop"         -> GraphOps.twoHop _,
     "kg_components"      -> GraphOps.components _,
     "kg_pmi"             -> GraphOps.pmi _,
+    // G6/G7: per-node triangle counts (wedge-closure enumeration, a<b<c)
+    // and bounded-hop BFS shortest paths from the region seeds
+    "kg_triangles"       -> GraphOps.triangles _,
+    "kg_shortest_path"   -> ((s: SparkSession, dir: String) => GraphOps.shortestPaths(s, dir)),
     // deterministic sampling (hash-keyed, reproducible on any cluster size)
     "sample_hash"        -> Sampling.hashSample _,
     "sample_stratified"  -> Sampling.stratifiedSample _,
@@ -194,6 +199,14 @@ object SparkEntry {
     "sample_split"       -> Sampling.trainValTestSplit _,
     "pack_sequences"     -> Packing.packDocuments _,
     "pack_chunks"        -> Packing.packChunks _,
+    // BPE tokenizer training (Sennrich 2016, distributed): the corpus is
+    // touched once (word counts); merge rounds run over the Zipf-bounded
+    // vocabulary. pair_counts is the oracled distributed core; the merge
+    // loop + segmentation are data-dependent (rows-only here) and pinned
+    // against an independent reference implementation in BpeSpec.
+    "bpe_pair_counts"    -> Bpe.pairCountsQuery _,
+    "bpe_merges"         -> ((s: SparkSession, dir: String) => Bpe.mergesQuery(s, dir)),
+    "bpe_encode"         -> ((s: SparkSession, dir: String) => Bpe.encodeQuery(s, dir)),
     // corpus curation: decontamination, redaction, license detection
     "cur_decontaminate"  -> Curation.decontaminateDocs _,
     "cur_redact"         -> Curation.redactDocs _,
@@ -566,6 +579,14 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
+    // declared-value pivot == one pass of conditional counts
+    "a12_pivot" ->
+      """SELECT lang,
+        |  CAST(coalesce(sum(CASE WHEN source = 'src0' THEN 1 END), 0) AS BIGINT) AS src0,
+        |  CAST(coalesce(sum(CASE WHEN source = 'src1' THEN 1 END), 0) AS BIGINT) AS src1,
+        |  CAST(coalesce(sum(CASE WHEN source = 'src2' THEN 1 END), 0) AS BIGINT) AS src2,
+        |  CAST(coalesce(sum(CASE WHEN source = 'src3' THEN 1 END), 0) AS BIGINT) AS src3
+        |FROM documents GROUP BY lang""".stripMargin,
     "w1_top1_candidate" ->
       s"""WITH $T, $K,
          |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY doc_id, term)
@@ -1030,6 +1051,18 @@ object SparkEntry {
         |  greatest(pos, (pos // 1024 + ci) * 1024) - pos AS offset_in_doc,
         |  least(pos + toks, (pos // 1024 + ci + 1) * 1024) - greatest(pos, (pos // 1024 + ci) * 1024) AS chunk_len
         |FROM c""".stripMargin,
+    // BPE round-1 adjacent symbol pairs: chars of each word zipped with
+    // their successor, plus (last char, end-of-word marker), weighted by
+    // word frequency — the distributed core every merge round re-runs
+    "bpe_pair_counts" ->
+      """WITH w AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents),
+        |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w WHERE word <> '' GROUP BY word),
+        |ex AS (SELECT word, cnt, CAST(unnest(range(1, len(word))) AS INT) AS i FROM wc),
+        |pairs AS (
+        |  SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, cnt FROM ex
+        |  UNION ALL
+        |  SELECT substr(word, len(word), 1), '</w>', cnt FROM wc)
+        |SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n FROM pairs GROUP BY a, b""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
         |  lower(substr(hex(encode(text)), 1, 32)) AS head_hex,
@@ -1109,6 +1142,34 @@ object SparkEntry {
          |SELECT p.t1, p.t2, p.co, m1.df AS df1, m2.df AS df2,
          |  round(log2(CAST(p.co AS DOUBLE) * nd.n / (CAST(m1.df AS DOUBLE) * m2.df)), 6) AS pmi
          |FROM pairs p JOIN marg m1 ON p.t1 = m1.term JOIN marg m2 ON p.t2 = m2.term CROSS JOIN nd""".stripMargin,
+    // undirected simple graph (edges + the order->nation shortcut), each
+    // triangle enumerated once via a<b<c wedge closure — same construction
+    "kg_triangles" ->
+      s"""WITH $Edges,
+         |sc AS (SELECT oc.src AS src, cn.dst AS dst
+         |       FROM edges oc JOIN edges cn ON oc.dst = cn.src
+         |       WHERE oc.src LIKE 'order:%' AND cn.dst LIKE 'nation:%'),
+         |alle AS (SELECT src, dst FROM edges UNION ALL SELECT src, dst FROM sc),
+         |und AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+         |        FROM alle WHERE src <> dst),
+         |tri AS (SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+         |        FROM und ab JOIN und bc ON ab.hi = bc.lo
+         |        JOIN und ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+         |tn AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM tn GROUP BY node""".stripMargin,
+    // 3 unrolled reversed-BFS hops from the region seeds, min over paths —
+    // mirrors the Spark plan's unrolled frontier expansion exactly
+    "kg_shortest_path" ->
+      s"""WITH $Edges,
+         |rev AS (SELECT dst AS f, src AS t FROM edges),
+         |seeds AS (SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS seed FROM region),
+         |d0 AS (SELECT seed, seed AS node, 0 AS dist FROM seeds),
+         |d1 AS (SELECT d0.seed, rev.t AS node, 1 AS dist FROM d0 JOIN rev ON d0.node = rev.f),
+         |d2 AS (SELECT d1.seed, rev.t AS node, 2 AS dist FROM d1 JOIN rev ON d1.node = rev.f),
+         |d3 AS (SELECT d2.seed, rev.t AS node, 3 AS dist FROM d2 JOIN rev ON d2.node = rev.f),
+         |alld AS (SELECT * FROM d0 UNION ALL SELECT * FROM d1
+         |         UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+         |SELECT seed, node, CAST(min(dist) AS INT) AS dist FROM alld GROUP BY seed, node""".stripMargin,
     // exact percentile_cont on both engines (identical SQL-standard
     // interpolation formula over integer token counts)
     "text_length_quantiles" ->

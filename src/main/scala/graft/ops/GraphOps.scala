@@ -129,6 +129,66 @@ object GraphOps {
       edges(spark, dir).select(col("src").as("d1"), col("dst").as("d2")))
       .select(col("doc_id").as("node"), col("cluster").as("component"))
 
+  /** The G6/G7 graph: [[edges]] plus the composed shortcut
+    * order-[in_nation]->nation (placed_by ∘ located_in) — the
+    * entity-resolution shortcut a KG builder materializes so that
+    * order–customer–nation closes into a triangle. Derived, deterministic,
+    * same stored inputs both engines read. */
+  def edgesWithShortcuts(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).select(col("src"), col("dst"))
+    val shortcut = e.as("oc").join(e.as("cn"), col("oc.dst") === col("cn.src"))
+      .filter(col("oc.src").startsWith("order:") && col("cn.dst").startsWith("nation:"))
+      .select(col("oc.src").as("src"), col("cn.dst").as("dst"))
+    e.unionAll(shortcut)
+  }
+
+  /** G6: per-node triangle count over the undirected simple graph — the
+    * standard KG cohesion/clustering signal. Scale shape: edges are
+    * canonicalized to (lo, hi) with lo < hi and deduplicated, then triangles
+    * are enumerated by the classic two-join wedge closure
+    * (a,b)⋈(b,c)⋈(a,c) with a < b < c — each triangle found exactly once,
+    * never an all-pairs step. Both joins shuffle on a node key; at skewed
+    * degree distributions the standard refinement is degree-orientation
+    * (orient each edge toward the higher-degree endpoint) which bounds the
+    * wedge fan-out by arboricity — the fixture graph is near-uniform, so the
+    * plain orientation is kept and AQE skew-split is the backstop. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val raw = edgesWithShortcuts(spark, dir)
+    val und = raw.select(least(col("src"), col("dst")).as("lo"),
+                         greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+    val tri = und.as("ab")
+      .join(und.as("bc"), col("ab.hi") === col("bc.lo"))
+      .join(und.as("ac"), col("ac.lo") === col("ab.lo") && col("ac.hi") === col("bc.hi"))
+      .select(col("ab.lo").as("a"), col("ab.hi").as("b"), col("bc.hi").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** G7: single-source-set shortest paths, bounded hops — "how far is every
+    * entity from its region", the reachability/quality probe run after
+    * materialization. Frontier-expansion BFS over REVERSED edges from the
+    * region seeds, `maxHops` rounds unrolled into one plan: each round joins
+    * the previous frontier against the same prepared edge table (exchange
+    * reused across rounds, the PageRank discipline) and a final min-groupBy
+    * resolves multiple discovery paths. Monotone frontier: a node found at
+    * hop h is never re-expanded later (anti-join against the settled set
+    * would be the 10^12-scale refinement; at bounded maxHops the min-agg is
+    * exact either way and keeps the plan join-only). */
+  def shortestPaths(spark: SparkSession, dir: String, maxHops: Int = 3): DataFrame = {
+    val rev = edges(spark, dir).select(col("dst").as("from"), col("src").as("to"))
+    val seeds = Tables.region(spark, dir)
+      .select(concat(lit("region:"), col("r_regionkey").cast("string")).as("seed"))
+    var frontier = seeds.select(col("seed"), col("seed").as("node"), lit(0).as("dist"))
+    var all = frontier
+    for (h <- 1 to maxHops) {
+      frontier = frontier.join(rev, col("node") === col("from"))
+        .select(col("seed"), col("to").as("node"), lit(h).as("dist"))
+      all = all.unionAll(frontier)
+    }
+    all.groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
+  }
+
   /** G4: pointwise mutual information between top-vocabulary terms
     * co-occurring in a document — the association-strength signal a KG
     * builder uses to propose relation candidates between entities. The

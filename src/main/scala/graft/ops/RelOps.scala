@@ -417,6 +417,23 @@ object RelOps {
               when(col("gs") === 1, lit("(all)")).otherwise(col("source")).as("source"),
               col("n_docs"), col("total_chars"))
 
+  /** A12: PIVOT — long-to-wide reshaping of per-(lang, source) doc counts
+    * into one column per source, the corpus-report/crosstab operator.
+    * Pivot VALUES ARE DECLARED (not discovered): Spark plans a declared
+    * pivot as ONE two-phase aggregation of conditional counts — no second
+    * pass to enumerate keys, no per-value shuffle, which is the 100 TB
+    * shape (an undeclared pivot first runs a distinct over the pivot
+    * column). Wide columns are bounded by the declared value list. */
+  def a12Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val srcs = Seq("src0", "src1", "src2", "src3")
+    Tables.documents(spark, dir)
+      .filter(col("source").isin(srcs.map(lit): _*))
+      .groupBy(col("lang"))
+      .pivot("source", srcs)
+      .agg(count(lit(1)))
+      .na.fill(0L, srcs)
+  }
+
   /** A8: distinct (dedup across extractor overlap). */
   def a8Distinct(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(col("lang"), col("source")).distinct()

@@ -93,6 +93,47 @@ class GraphLmSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("triangles: hand-derived from the raw tables (one per order via the shortcut)") {
+    // the only triangles in edges+shortcut are {order, its customer, the
+    // customer's nation}: orders get 1; a customer gets its order count; a
+    // nation gets the order count over its customers; others get none
+    val tri = GraphOps.triangles(spark, sf).as[(String, Long)].collect().toMap
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_orderkey".cast("long"), $"o_custkey".cast("long")).as[(Long, Long)].collect()
+    val custNation = spark.read.parquet(s"$sf/customer.parquet")
+      .select($"c_custkey".cast("long"), $"c_nationkey".cast("long")).as[(Long, Long)].collect().toMap
+    assert(orders.nonEmpty)
+    orders.take(50).foreach { case (o, _) => assert(tri(s"order:$o") == 1L) }
+    val byCust = orders.groupBy(_._2).view.mapValues(_.length.toLong)
+    byCust.take(20).foreach { case (c, n) => assert(tri(s"cust:$c") == n) }
+    val byNation = orders.groupBy(o => custNation(o._2)).view.mapValues(_.length.toLong)
+    byNation.foreach { case (nat, n) => assert(tri(s"nation:$nat") == n) }
+    assert(!tri.keys.exists(_.startsWith("supp:")) && !tri.keys.exists(_.startsWith("region:")))
+    // every triangle contributes exactly 3 node increments
+    assert(tri.values.sum == 3L * orders.length)
+  }
+
+  test("shortest paths: hop distances match the raw-table chains") {
+    val sp = GraphOps.shortestPaths(spark, sf).as[(String, String, Int)].collect()
+      .map { case (s, n, d) => (s, n) -> d }.toMap
+    val nations = spark.read.parquet(s"$sf/nation.parquet")
+      .select($"n_nationkey".cast("long"), $"n_regionkey".cast("long")).as[(Long, Long)].collect()
+    val custNation = spark.read.parquet(s"$sf/customer.parquet")
+      .select($"c_custkey".cast("long"), $"c_nationkey".cast("long")).as[(Long, Long)].collect().toMap
+    val nationRegion = nations.toMap
+    nations.foreach { case (n, r) => assert(sp((s"region:$r", s"nation:$n")) == 1) }
+    custNation.take(30).foreach { case (c, n) =>
+      assert(sp((s"region:${nationRegion(n)}", s"cust:$c")) == 2) }
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_orderkey".cast("long"), $"o_custkey".cast("long")).as[(Long, Long)].collect()
+    orders.take(30).foreach { case (o, c) =>
+      assert(sp((s"region:${nationRegion(custNation(c))}", s"order:$o")) == 3) }
+    // each node reaches exactly ONE region (the graph is a forest upward)
+    val perNode = sp.keys.groupBy(_._2).view.mapValues(_.size)
+    assert(perNode.values.forall(_ == 1))
+    assert(sp.values.forall(d => d >= 0 && d <= 3))
+  }
+
   test("pmi self-consistency: ordered pairs, co <= min(df), pmi recomputed from counts") {
     val rows = GraphOps.pmi(spark, sf)
       .select(col("t1"), col("t2"), col("co"), col("df1"), col("df2"), col("pmi"))
