@@ -196,8 +196,8 @@ final class SnapshotTable(val root: String, val name: String) extends Serializab
     // the range must be append-lineage (append / delete / noop)
     var cur = m
     while (cur.snapshot > fromSeq) {
-      require(cur.operation != "overwrite" || cur.snapshot == fromSeq,
-        s"incremental scan ($fromSeq, $toSeq] crosses overwrite at snapshot ${cur.snapshot} of $location")
+      require(!Set("overwrite", "rollback").contains(cur.operation) || cur.snapshot == fromSeq,
+        s"incremental scan ($fromSeq, $toSeq] crosses ${cur.operation} at snapshot ${cur.snapshot} of $location")
       if (cur.parent < fromSeq)
         throw new IllegalArgumentException(
           s"snapshot $fromSeq is not an ancestor of $toSeq in $location")
@@ -206,7 +206,7 @@ final class SnapshotTable(val root: String, val name: String) extends Serializab
         throw new IllegalStateException(s"ancestor manifest ${cur.parent} missing in $location"))
     }
     val entries = m.data.filter(e => e.seq > fromSeq && e.seq <= toSeq)
-    readFromManifest(spark, f, m.copy(deletes = Nil), entries)
+    readFromManifest(spark, f, m.copy(deletes = Nil, posDeletes = Nil), entries)
   }
 
   /** The equality-delete keys committed in `(fromSeq, toSeq]` whose key
@@ -253,14 +253,16 @@ final class SnapshotTable(val root: String, val name: String) extends Serializab
         replayed = true
         val p = parent.getOrElse(throw new IllegalStateException(
           s"marker $marker committed but no parent manifest in $location"))
-        (p.data, p.deletes, p.schema, None) // metadata-only no-op, marker NOT re-recorded
+        // metadata-only no-op, marker NOT re-recorded
+        CommitParts(p.data, p.deletes, p.posDeletes, p.schema, None)
       } else {
         val schema = parent match {
           case Some(p) => evolveSchema(StructType.fromDDL(p.schema), df.schema).toDDL
           case None    => df.schema.toDDL
         }
-        (parent.map(_.data).getOrElse(Nil) ++ staged.map(_.at(seq)),
-         parent.map(_.deletes).getOrElse(Nil), schema, Some(marker))
+        CommitParts(parent.map(_.data).getOrElse(Nil) ++ staged.map(_.at(seq)),
+          parent.map(_.deletes).getOrElse(Nil),
+          parent.map(_.posDeletes).getOrElse(Nil), schema, Some(marker))
       }
     }
     if (replayed) None else Some(seq)
@@ -291,17 +293,27 @@ final class SnapshotTable(val root: String, val name: String) extends Serializab
   /** Merge-on-read over an already-built scan of `entries`. */
   private def applyDeletes(spark: SparkSession, f: FileSystem, m: Manifest,
                            entries: Seq[DataFileEntry], df: DataFrame): DataFrame = {
-    if (m.deletes.isEmpty) return df
-    val pathSeq = spark.createDataFrame(entries.map(e => (absPath(f, e.path), e.seq)))
-      .toDF(FileCol, DataSeqCol)
+    if (m.deletes.isEmpty && m.posDeletes.isEmpty) return df
+    taggedWithDeletes(spark, f, m, entries, df).drop(FileCol, RelCol, DataSeqCol, PosCol)
+  }
+
+  /** The merge-on-read scan WITH its bookkeeping columns still attached
+    * (manifest-relative file path + in-file row ordinal) — the shape
+    * [[deleteWhere]] needs to name victim rows. */
+  private def taggedWithDeletes(spark: SparkSession, f: FileSystem, m: Manifest,
+                                entries: Seq[DataFileEntry], df: DataFrame): DataFrame = {
+    val pathSeq = spark.createDataFrame(entries.map(e => (absPath(f, e.path), e.path, e.seq)))
+      .toDF(FileCol, RelCol, DataSeqCol)
     // rows learn their file from the DETERMINISTIC `_metadata.file_path`
     // column (not input_file_name(), whose nondeterminism would fence off
     // predicate pushdown below this projection — the indexed read's file
-    // skipping depends on filters reaching the scan)
+    // skipping depends on filters reaching the scan); `_metadata.row_index`
+    // is the row's ordinal within its parquet file — the position-delete key
     val tagged = df
       .withColumn(FileCol, regexp_replace(col("_metadata.file_path"), "^[a-z0-9+.-]+:/+", "/"))
+      .withColumn(PosCol, col("_metadata.row_index"))
       .join(broadcast(pathSeq), FileCol)
-    val out = m.deletes.groupBy(_.keys).foldLeft(tagged) { case (acc, (keys, dels)) =>
+    val eqDone = m.deletes.groupBy(_.keys).foldLeft(tagged) { case (acc, (keys, dels)) =>
       val delKeys = dels.map { d =>
         spark.read.parquet(s"$location/${d.path}")
           .select(keys.map(col): _*).withColumn(DelSeqCol, lit(d.seq))
@@ -312,7 +324,17 @@ final class SnapshotTable(val root: String, val name: String) extends Serializab
       // residual-condition hash anti join
       acc.join(broadcast(delKeys), keyEq && delKeys(DelSeqCol) > acc(DataSeqCol), "left_anti")
     }
-    out.drop(FileCol, DataSeqCol)
+    if (m.posDeletes.isEmpty) eqDone
+    else {
+      // position deletes name (file, ordinal) directly — file-scoped, so no
+      // sequence comparison: the row they point at is dead in every snapshot
+      // that lists both the file and the delete (Iceberg v2 position deletes)
+      val posKeys = m.posDeletes.map(d => spark.read.parquet(s"$location/${d.path}"))
+        .reduce(_ unionByName _)
+      eqDone.join(broadcast(posKeys),
+        eqDone(RelCol) === posKeys(PosDelFileCol) && eqDone(PosCol) === posKeys(PosDelPosCol),
+        "left_anti")
+    }
   }
 
   // -------------------------------------------------------------- commits
@@ -322,7 +344,7 @@ final class SnapshotTable(val root: String, val name: String) extends Serializab
   def writeOverwrite(df: DataFrame): Long = {
     val staged = stage(df, "data")
     commit(df.sparkSession, "overwrite") { (_, seq) =>
-      (staged.map(_.at(seq)), Nil, df.schema.toDDL, None)
+      CommitParts(staged.map(_.at(seq)), Nil, Nil, df.schema.toDDL, None)
     }
   }
 
@@ -340,8 +362,9 @@ final class SnapshotTable(val root: String, val name: String) extends Serializab
         case Some(p) => evolveSchema(StructType.fromDDL(p.schema), df.schema).toDDL
         case None    => df.schema.toDDL
       }
-      (parent.map(_.data).getOrElse(Nil) ++ staged.map(_.at(seq)),
-       parent.map(_.deletes).getOrElse(Nil), schema, None)
+      CommitParts(parent.map(_.data).getOrElse(Nil) ++ staged.map(_.at(seq)),
+        parent.map(_.deletes).getOrElse(Nil),
+        parent.map(_.posDeletes).getOrElse(Nil), schema, None)
     }
   }
 
@@ -356,11 +379,100 @@ final class SnapshotTable(val root: String, val name: String) extends Serializab
     commit(spark, "delete") { (parent, seq) =>
       val p = parent.getOrElse(
         throw new IllegalStateException(s"delete on empty table $location"))
-      (p.data,
-       p.deletes ++ staged.map(s => DeleteFileEntry(s.rel, seq, keyCols, s.rows)),
-       p.schema, None)
+      CommitParts(p.data,
+        p.deletes ++ staged.map(s => DeleteFileEntry(s.rel, seq, keyCols, s.rows)),
+        p.posDeletes, p.schema, None)
     }
   }
+
+  /** Row-level POSITION delete (Iceberg v2's second delete kind): rows of the
+    * CURRENT merge-on-read state matching `cond` are named by (data file,
+    * in-file row ordinal) — `_metadata.row_index`, stable because data files
+    * are write-once — and committed as position-delete files. Unlike an
+    * equality delete this kills specific physical rows, so a later re-insert
+    * of the same logical key is untouched without any sequence bookkeeping,
+    * and the predicate may be arbitrary (no key columns needed). Finding the
+    * victims costs one filtered scan (pushed-down predicate prunes files via
+    * the manifest stats on an indexed read; Iceberg's MERGE pays the same
+    * scan); the commit itself moves only the (file, pos) pairs.
+    * Returns (snapshot, rows deleted); no commit at all if nothing matched. */
+  def deleteWhere(spark: SparkSession, cond: org.apache.spark.sql.Column): (Option[Long], Long) = {
+    val f = fs(spark)
+    val m = readManifest(f, metaDir, currentSnapshot(spark).getOrElse(
+      throw new IllegalStateException(s"deleteWhere on empty table $location"))).get
+    val schema = StructType.fromDDL(m.schema)
+    val scan = spark.read.schema(schema).parquet(m.data.map(e => s"$location/${e.path}"): _*)
+    val victims = taggedWithDeletes(spark, f, m, m.data, scan)
+      .filter(cond)
+      .select(col(RelCol).as(PosDelFileCol), col(PosCol).as(PosDelPosCol))
+    val staged = stage(victims, "deletes")
+    val nRows = staged.map(_.rows).sum
+    if (nRows == 0) return (None, 0L) // staged empty dir is swept by expireSnapshots
+    val seq = commit(spark, "delete") { (parent, seq) =>
+      val p = parent.getOrElse(
+        throw new IllegalStateException(s"delete on empty table $location"))
+      CommitParts(p.data, p.deletes,
+        p.posDeletes ++ staged.map(s => PosDeleteFileEntry(s.rel, seq, s.rows)),
+        p.schema, None)
+    }
+    (Some(seq), nRows)
+  }
+
+  /** Rollback — Iceberg's `rollback_to_snapshot`: a METADATA-ONLY commit
+    * re-listing snapshot `seq`'s exact state (data, deletes, schema) as the
+    * new current snapshot. History is preserved (the rolled-back snapshots
+    * stay time-travelable until expired); no data moves. Incremental
+    * consumers must re-anchor, so [[readAppendsBetween]] refuses to cross a
+    * rollback the same way it refuses an overwrite. */
+  def rollbackTo(spark: SparkSession, seq: Long): Long = {
+    val f = fs(spark)
+    val target = readManifest(f, metaDir, seq).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $seq in $location"))
+    commit(spark, "rollback") { (_, _) =>
+      CommitParts(target.data, target.deletes, target.posDeletes, target.schema, None)
+    }
+  }
+
+  // ----------------------------------------------------------------- refs
+
+  /** Tag a snapshot with an immutable name (Iceberg refs): tagged snapshots
+    * survive [[expireSnapshots]] regardless of `keepLast` — the audit/
+    * reproducibility pin ("the corpus release we trained on"). Exclusive
+    * create: retagging an existing name is refused (drop it first). */
+  def createTag(spark: SparkSession, tagName: String, seq: Long): Unit = {
+    require(tagName.matches("[A-Za-z0-9._-]+"), s"bad tag name: $tagName")
+    val f = fs(spark)
+    require(readManifest(f, metaDir, seq).isDefined, s"no snapshot $seq in $location")
+    val out =
+      try f.create(new Path(s"$metaDir/tag-$tagName.json"), false)
+      catch { case _: java.io.IOException =>
+        throw new IllegalStateException(s"tag $tagName already exists in $location") }
+    val bytes = s"""{"name":"$tagName","snapshot":$seq}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** All tags → snapshot ids. */
+  def tags(spark: SparkSession): Map[String, Long] = {
+    val f = fs(spark)
+    val dir = new Path(metaDir)
+    if (!f.exists(dir)) return Map.empty
+    f.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case TagName(n) =>
+        val in = f.open(new Path(s"$metaDir/tag-$n.json"))
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        val j = JsonMethods.parse(text)
+        n -> (j \ "snapshot").extract[Long]
+    }.toMap
+  }
+
+  /** The table exactly as of tag `tagName`. */
+  def readTag(spark: SparkSession, tagName: String): DataFrame =
+    readAt(spark, tags(spark).getOrElse(tagName,
+      throw new IllegalArgumentException(s"no tag $tagName in $location")))
+
+  def dropTag(spark: SparkSession, tagName: String): Unit =
+    fs(spark).delete(new Path(s"$metaDir/tag-$tagName.json"), false)
 
   /** Row-level MERGE (upsert) in ONE atomic commit: rows of `df` replace any
     * prior rows sharing their key and insert otherwise. Implemented as an
@@ -378,9 +490,10 @@ final class SnapshotTable(val root: String, val name: String) extends Serializab
     commit(df.sparkSession, "upsert") { (parent, seq) =>
       val p = parent.getOrElse(
         throw new IllegalStateException(s"upsert into empty table $location — writeOverwrite first"))
-      (p.data ++ stagedData.map(_.at(seq)),
-       p.deletes ++ stagedDel.map(s => DeleteFileEntry(s.rel, seq, keyCols, s.rows)),
-       evolveSchema(StructType.fromDDL(p.schema), df.schema).toDDL, None)
+      CommitParts(p.data ++ stagedData.map(_.at(seq)),
+        p.deletes ++ stagedDel.map(s => DeleteFileEntry(s.rel, seq, keyCols, s.rows)),
+        p.posDeletes,
+        evolveSchema(StructType.fromDDL(p.schema), df.schema).toDDL, None)
     }
   }
 
@@ -439,14 +552,15 @@ final class SnapshotTable(val root: String, val name: String) extends Serializab
     require(keepLast >= 1, "must keep at least one snapshot")
     val f = fs(spark)
     val valid = snapshots(spark)
-    val keep = valid.takeRight(keepLast).toSet
+    // tagged snapshots are pinned (Iceberg refs): expiry never drops them
+    val keep = (valid.takeRight(keepLast) ++ tags(spark).values.filter(valid.contains)).toSet
     if (keep.isEmpty) return (0, 0)
     // all manifest files on disk (torn ones included) below the kept range go
     listManifestSeqs(f, metaDir).filterNot(keep).filter(_ < keep.max)
       .foreach(s => f.delete(new Path(s"$metaDir/snap-$s.json"), false))
     val referenced: Set[String] =
       keep.flatMap(s => readManifest(f, metaDir, s).toSeq.flatMap(m =>
-        m.data.map(_.path) ++ m.deletes.map(_.path)))
+        m.data.map(_.path) ++ m.deletes.map(_.path) ++ m.posDeletes.map(_.path)))
     var removed = 0
     for (sub <- Seq("data", "deletes")) {
       val dir = new Path(s"$location/$sub")
@@ -490,7 +604,7 @@ final class SnapshotTable(val root: String, val name: String) extends Serializab
     * `build(parentManifest, claimedSeq)` into it. See class doc for the
     * crash/concurrency contract. */
   private def commit(spark: SparkSession, op: String)
-                    (build: (Option[Manifest], Long) => (Seq[DataFileEntry], Seq[DeleteFileEntry], String, Option[String])): Long = {
+                    (build: (Option[Manifest], Long) => CommitParts): Long = {
     val f = fs(spark)
     f.mkdirs(new Path(metaDir))
     @tailrec def attempt(tries: Int): Long = {
@@ -506,8 +620,9 @@ final class SnapshotTable(val root: String, val name: String) extends Serializab
           // stepped over by the next committer — a safe burned sequence
           val m = try {
             val parent = settleParent(f, target)
-            val (data, deletes, schema, marker) = build(parent, target)
-            Manifest(target, parent.map(_.snapshot).getOrElse(0L), op, schema, data, deletes, marker)
+            val parts = build(parent, target)
+            Manifest(target, parent.map(_.snapshot).getOrElse(0L), op, parts.schema,
+                     parts.data, parts.deletes, parts.marker, parts.posDeletes)
           } catch { case e: Throwable => out.close(); throw e }
           val bytes = manifestJson(m).getBytes(java.nio.charset.StandardCharsets.UTF_8)
           try { out.write(bytes) } finally out.close()
@@ -542,19 +657,33 @@ final class SnapshotTable(val root: String, val name: String) extends Serializab
 
 object SnapshotTable {
   private val FileCol = "__graft_file"
+  private val RelCol = "__graft_rel"
+  private val PosCol = "__graft_pos"
   private val DataSeqCol = "__graft_data_seq"
   private val DelSeqCol = "__graft_del_seq"
+  private val PosDelFileCol = "file"
+  private val PosDelPosCol = "pos"
+  private val TagName = "tag-([A-Za-z0-9._-]+)\\.json".r
 
   /** min/max serialized as strings, typed by `tpe` ∈ {long, double, string}. */
   final case class ColumnStats(tpe: String, min: String, max: String, nulls: Long)
   final case class DataFileEntry(path: String, seq: Long, rows: Long, bytes: Long,
                                  stats: Map[String, ColumnStats])
   final case class DeleteFileEntry(path: String, seq: Long, keys: Seq[String], rows: Long)
+  /** A position-delete file: (file: manifest-relative data-file path,
+    * pos: in-file row ordinal) rows — Iceberg v2's second delete kind. */
+  final case class PosDeleteFileEntry(path: String, seq: Long, rows: Long)
   /** `marker` carries an idempotence key for [[SnapshotTable.appendOnce]]
     * (Iceberg stores the same thing as a snapshot-summary property). */
   final case class Manifest(snapshot: Long, parent: Long, operation: String, schema: String,
                             data: Seq[DataFileEntry], deletes: Seq[DeleteFileEntry],
-                            marker: Option[String] = None)
+                            marker: Option[String] = None,
+                            posDeletes: Seq[PosDeleteFileEntry] = Nil)
+  /** What a commit publishes (the manifest minus identity fields). */
+  private[io] final case class CommitParts(data: Seq[DataFileEntry],
+                                           deletes: Seq[DeleteFileEntry],
+                                           posDeletes: Seq[PosDeleteFileEntry],
+                                           schema: String, marker: Option[String])
   final case class PrunedRead(df: DataFrame, filesScanned: Int, filesTotal: Int)
   /** A Catalyst-integrated scan + its file index (for prune assertions). */
   final case class IndexedRead(df: DataFrame, index: SnapshotFileIndex)

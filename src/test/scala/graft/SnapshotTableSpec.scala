@@ -310,4 +310,76 @@ class SnapshotTableSpec extends AnyFunSuite {
     t.writeOverwrite(docs(0, 3))
     intercept[IllegalArgumentException](t.readAt(spark, 99L))
   }
+
+  test("position deletes: predicate kills physical rows; a re-append of the key survives") {
+    val t = fresh("snap_posdel")
+    t.writeOverwrite(docs(0, 100).repartition(4)) // multi-file so (file,pos) matters
+    val (seq, n) = t.deleteWhere(spark, $"toks" >= 100 && $"toks" < 300) // doc_id 10..29
+    assert(seq.contains(2L) && n == 20)
+    assert(t.read(spark).count() == 80)
+    assert(t.read(spark).filter($"doc_id" >= 10 && $"doc_id" < 30).count() == 0)
+    // commit was metadata-only for data: no data file rewritten
+    val m1 = t.manifest(spark, 1L).get; val m2 = t.manifest(spark, 2L).get
+    assert(m2.data.map(_.path) == m1.data.map(_.path))
+    assert(m2.posDeletes.map(_.rows).sum == 20)
+    // file-scoped, NOT key-scoped: re-appending the same doc_ids is visible
+    // without any sequence bookkeeping (the new rows live in new files)
+    t.append(docs(10, 30))
+    assert(t.read(spark).count() == 100)
+    assert(t.read(spark).filter($"doc_id" === 15).count() == 1)
+    // time travel: snapshot 1 still has all 100, snapshot 2 has 80
+    assert(t.readAt(spark, 1L).count() == 100)
+    assert(t.readAt(spark, 2L).count() == 80)
+    // composes with an equality delete on top
+    t.deleteWhereKeys(Seq(50L, 15L).toDF("doc_id"), Seq("doc_id"))
+    assert(t.read(spark).count() == 98)
+    // nothing-matches → no commit at all
+    val before = t.currentSnapshot(spark)
+    assert(t.deleteWhere(spark, $"toks" === -1) == ((None, 0L)))
+    assert(t.currentSnapshot(spark) == before)
+  }
+
+  test("rollback: metadata-only restore of an earlier snapshot; incremental scans refuse to cross") {
+    val t = fresh("snap_rollback")
+    t.writeOverwrite(docs(0, 50))                       // 1
+    t.append(docs(50, 70))                              // 2
+    t.deleteWhereKeys(Seq(3L).toDF("doc_id"), Seq("doc_id")) // 3
+    assert(t.read(spark).count() == 69)
+    val rb = t.rollbackTo(spark, 1L)                    // 4
+    assert(rb == 4L)
+    // current state ≡ snapshot 1, bad history still time-travelable
+    assert(t.read(spark).count() == 50)
+    assert(t.readAt(spark, 3L).count() == 69)
+    // metadata-only: snapshot 4 re-lists snapshot 1's files verbatim
+    assert(t.manifest(spark, 4L).get.data.map(_.path) ==
+           t.manifest(spark, 1L).get.data.map(_.path))
+    // appends continue from the restored state
+    t.append(docs(100, 110))                            // 5
+    assert(t.read(spark).count() == 60)
+    // a consumer anchored before the rollback must re-anchor
+    intercept[IllegalArgumentException](t.readAppendsBetween(spark, 2L, 5L))
+    // anchored AT the rollback is fine: sees only the post-rollback append
+    assert(t.readAppendsBetween(spark, 4L, 5L).count() == 10)
+  }
+
+  test("tags pin snapshots across expiry (Iceberg refs)") {
+    val t = fresh("snap_tags")
+    t.writeOverwrite(docs(0, 30))        // 1
+    t.createTag(spark, "release-1", 1L)
+    t.writeOverwrite(docs(0, 40))        // 2
+    t.writeOverwrite(docs(0, 50))        // 3
+    assert(t.tags(spark) == Map("release-1" -> 1L))
+    assert(t.readTag(spark, "release-1").count() == 30)
+    intercept[IllegalStateException](t.createTag(spark, "release-1", 2L))
+    // expiry keeps the tagged snapshot 1 and its files; snapshot 2 goes
+    val (kept, removed) = t.expireSnapshots(spark, keepLast = 1)
+    assert(kept == 2 && removed > 0)
+    assert(t.snapshots(spark) == Seq(1L, 3L))
+    assert(t.readTag(spark, "release-1").count() == 30, "tagged data must survive expiry")
+    assert(t.read(spark).count() == 50)
+    // dropping the tag releases the pin
+    t.dropTag(spark, "release-1")
+    t.expireSnapshots(spark, keepLast = 1)
+    assert(t.snapshots(spark) == Seq(3L))
+  }
 }
