@@ -78,8 +78,12 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     // SPARK_GRAFT_BENCH_PIPELINE_ONLY=1 → scaling runs time just the pipeline
+    // SPARK_GRAFT_BENCH_QUERIES=a,b,c → spot-time just those entries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES").map(_.split(',').toSet)
     if (!sys.env.contains("SPARK_GRAFT_BENCH_PIPELINE_ONLY")) {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .foreach { case (name, fn) =>
         try results(name) = time(fn(spark, sfDir).count())
         catch {
           case e: Throwable =>

@@ -144,23 +144,43 @@ object GraphOps {
 
   /** G6: per-node triangle count over the undirected simple graph — the
     * standard KG cohesion/clustering signal. Scale shape: edges are
-    * canonicalized to (lo, hi) with lo < hi and deduplicated, then triangles
-    * are enumerated by the classic two-join wedge closure
-    * (a,b)⋈(b,c)⋈(a,c) with a < b < c — each triangle found exactly once,
-    * never an all-pairs step. Both joins shuffle on a node key; at skewed
-    * degree distributions the standard refinement is degree-orientation
-    * (orient each edge toward the higher-degree endpoint) which bounds the
-    * wedge fan-out by arboricity — the fixture graph is near-uniform, so the
-    * plain orientation is kept and AQE skew-split is the backstop. */
+    * canonicalized to (lo, hi) with lo < hi and deduplicated, then
+    * DEGREE-ORIENTED — each edge points from its lower-(degree, id) endpoint
+    * to the higher — before the two-join wedge closure. Orientation is the
+    * load-bearing step: every wedge is enumerated at the LOWEST-degree node
+    * of its triangle, so per-node fan-out is bounded by out-degree ≤
+    * O(√|E|) (arboricity) instead of raw degree. On this graph the
+    * `order→nation` shortcut makes every nation a ~10⁴-degree hub; the
+    * id-ordered form pivots 90M wedges through those hubs (measured 16.2 s
+    * at sf0.1) while the degree-oriented form pivots wedges at the
+    * degree-2 order nodes (~|orders| wedges total, measured 2.6 s — see
+    * BENCH.md). Each triangle x<y<z in (degree, id) order is found exactly
+    * once: wedge (x→y, x→z) closed by the oriented edge y→z. The degree
+    * table is |V| rows (join it however AQE likes); both wedge joins
+    * shuffle on node keys — no all-pairs step anywhere. */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     val raw = edgesWithShortcuts(spark, dir)
     val und = raw.select(least(col("src"), col("dst")).as("lo"),
                          greatest(col("src"), col("dst")).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct()
-    val tri = und.as("ab")
-      .join(und.as("bc"), col("ab.hi") === col("bc.lo"))
-      .join(und.as("ac"), col("ac.lo") === col("ab.lo") && col("ac.hi") === col("bc.hi"))
-      .select(col("ab.lo").as("a"), col("ab.hi").as("b"), col("bc.hi").as("c"))
+    val deg = und.select(explode(array(col("lo"), col("hi"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // (deg, id) is a total order (ids are distinct), so orientation is
+    // deterministic and acyclic: u = tail (lower), v = head (higher).
+    val withD = und
+      .join(deg.select(col("node").as("lo"), col("deg").as("dlo")), Seq("lo"))
+      .join(deg.select(col("node").as("hi"), col("deg").as("dhi")), Seq("hi"))
+    val kLo = struct(col("dlo").as("d"), col("lo").as("id"))
+    val kHi = struct(col("dhi").as("d"), col("hi").as("id"))
+    val or = withD.select(
+      when(kLo < kHi, col("lo")).otherwise(col("hi")).as("u"),
+      when(kLo < kHi, col("hi")).otherwise(col("lo")).as("v"),
+      when(kLo < kHi, kHi).otherwise(kLo).as("vk"))
+    val wedge = or.as("e1")
+      .join(or.as("e2"), col("e1.u") === col("e2.u") && col("e1.vk") < col("e2.vk"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    // closing edge y→z is oriented exactly this way because vk(b) < vk(c)
+    val tri = wedge.join(or.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
