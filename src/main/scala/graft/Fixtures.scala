@@ -45,6 +45,23 @@ object Fixtures {
     * evolves by union and the old files read `toks` as NULL (S15). */
   val SchemaEvoTableDir: String = s"$Root/schema_evo_table"
   def schemaEvoTable: io.SnapshotTable = new io.SnapshotTable(SchemaEvoTableDir, "t")
+  /** Upsert (MERGE) snapshot table (S17): commit 1 writes the source,
+    * commit 2 is ONE `upsert` commit that updates toks for doc_id%7==0 and
+    * inserts brand-new keys (doc_id+2000 for %13==0) — equality delete +
+    * data append at the same sequence. */
+  val UpsertTableDir: String = s"$Root/upsert_table"
+  def upsertTable: io.SnapshotTable = new io.SnapshotTable(UpsertTableDir, "t")
+  /** Position-delete snapshot table (S18): commit 1 writes the source,
+    * commit 2 position-deletes rows matching an ARBITRARY predicate (no key
+    * columns), commit 3 re-appends rows that ALSO match it — file-scoped
+    * deletes never touch data committed later. */
+  val PosDelTableDir: String = s"$Root/posdel_table"
+  def posDelTable: io.SnapshotTable = new io.SnapshotTable(PosDelTableDir, "t")
+  /** Rollback snapshot table (S19): overwrite evens, append odds,
+    * equality-delete %3, `rollbackTo(2)` (metadata-only restore of the full
+    * source), then a post-rollback append chains on top. */
+  val RollbackTableDir: String = s"$Root/rollback_table"
+  def rollbackTable: io.SnapshotTable = new io.SnapshotTable(RollbackTableDir, "t")
 
   @volatile private var done = false
 
@@ -91,6 +108,34 @@ object Fixtures {
         val src = spark.read.parquet(SnapSrcParquet)
         t.writeOverwrite(src.filter(col("doc_id") % 2 === 0).select("doc_id", "lang"))
         t.append(src.filter(col("doc_id") % 2 === 1))
+      }
+      // upsert table (S17): one MERGE commit = update %7 toks, insert new keys
+      ensureSnapFixture(spark, UpsertTableDir, 2) { t =>
+        val src = spark.read.parquet(SnapSrcParquet)
+        t.writeOverwrite(src)
+        val changes = src.filter(col("doc_id") % 7 === 0)
+          .withColumn("toks", col("toks") + 10000)
+          .unionAll(src.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 2000).as("doc_id"), col("lang"), col("toks")))
+        t.upsert(changes, Seq("doc_id"))
+      }
+      // position-delete table (S18): predicate delete, then a re-append of
+      // rows matching the same predicate (file-scoped ⇒ they survive)
+      ensureSnapFixture(spark, PosDelTableDir, 3) { t =>
+        val src = spark.read.parquet(SnapSrcParquet)
+        t.writeOverwrite(src)
+        t.deleteWhere(spark, col("lang") === "lang_2" && col("toks") < 500)
+        t.append(src.filter(col("doc_id") % 10 === 2))
+      }
+      // rollback table (S19): delete %3, restore snapshot 2, append on top
+      ensureSnapFixture(spark, RollbackTableDir, 5) { t =>
+        val src = spark.read.parquet(SnapSrcParquet)
+        t.writeOverwrite(src.filter(col("doc_id") % 2 === 0).repartitionByRange(8, col("doc_id")))
+        t.append(src.filter(col("doc_id") % 2 === 1))
+        t.deleteWhereKeys(src.filter(col("doc_id") % 3 === 0).select("doc_id"), Seq("doc_id"))
+        t.rollbackTo(spark, 2L)
+        t.append(src.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000).as("doc_id"), col("lang"), col("toks")))
       }
       done = true
     }

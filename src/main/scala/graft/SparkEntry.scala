@@ -112,6 +112,26 @@ object SparkEntry {
         .filter(col("doc_id").between(500, 899))
         .select("doc_id", "lang", "toks")
     }),
+    // S17: row-level MERGE/upsert — ONE commit staged an equality delete of
+    // the incoming keys plus the data append at the same sequence; the
+    // oracle states the merged result (updated %7 toks, inserted new keys).
+    "s17_snapshot_upsert" -> ((s: SparkSession, dir: String) => {
+      Fixtures.ensure(s)
+      Fixtures.upsertTable.read(s).select("doc_id", "lang", "toks")
+    }),
+    // S18: position deletes — an arbitrary-predicate delete names victims by
+    // (file, row ordinal); the later re-append of rows MATCHING the same
+    // predicate survives because position deletes are file-scoped.
+    "s18_snapshot_posdelete" -> ((s: SparkSession, dir: String) => {
+      Fixtures.ensure(s)
+      Fixtures.posDelTable.read(s).select("doc_id", "lang", "toks")
+    }),
+    // S19: rollback — the %3 equality delete is undone by the metadata-only
+    // restore of snapshot 2, and a post-rollback append chains on top.
+    "s19_snapshot_rollback" -> ((s: SparkSession, dir: String) => {
+      Fixtures.ensure(s)
+      Fixtures.rollbackTable.read(s).select("doc_id", "lang", "toks")
+    }),
     // §2.1 KB scan / §2.4 joins
     "s2_kb_dictionary"   -> RelOps.s2Kb _,
     "j1_candidates"      -> RelOps.j1Candidates _,
@@ -466,6 +486,31 @@ object SparkEntry {
          |cur AS (SELECT * FROM src WHERE doc_id % 5 <> 0
          |        UNION ALL SELECT * FROM src WHERE doc_id % 10 = 0)
          |SELECT doc_id, lang, toks FROM cur WHERE doc_id BETWEEN 500 AND 899""".stripMargin,
+    // merged state after the one-commit upsert: %7 keys carry the updated
+    // toks, %13 keys were also inserted shifted by 2000 (brand-new keys)
+    "s17_snapshot_upsert" ->
+      s"""WITH src AS (SELECT doc_id, lang, toks FROM read_parquet('${Fixtures.SnapSrcParquet}/*.parquet'))
+         |SELECT doc_id, lang,
+         |       CASE WHEN doc_id % 7 = 0 THEN toks + 10000 ELSE toks END AS toks
+         |FROM src
+         |UNION ALL
+         |SELECT doc_id + 2000 AS doc_id, lang, toks FROM src WHERE doc_id % 13 = 0""".stripMargin,
+    // predicate-deleted rows are gone from the ORIGINAL files; the seq-3
+    // re-append of %10==2 rows (all lang_2) is untouched — position deletes
+    // are (file, pos) pairs, not keys
+    "s18_snapshot_posdelete" ->
+      s"""WITH src AS (SELECT doc_id, lang, toks FROM read_parquet('${Fixtures.SnapSrcParquet}/*.parquet'))
+         |SELECT doc_id, lang, toks FROM src
+         |WHERE NOT (lang = 'lang_2' AND toks < 500)
+         |UNION ALL
+         |SELECT doc_id, lang, toks FROM src WHERE doc_id % 10 = 2""".stripMargin,
+    // rollbackTo(2) restored the full source (undoing the %3 delete); the
+    // post-rollback append (%11 keys shifted by 2000) chains on top
+    "s19_snapshot_rollback" ->
+      s"""WITH src AS (SELECT doc_id, lang, toks FROM read_parquet('${Fixtures.SnapSrcParquet}/*.parquet'))
+         |SELECT doc_id, lang, toks FROM src
+         |UNION ALL
+         |SELECT doc_id + 2000 AS doc_id, lang, toks FROM src WHERE doc_id % 11 = 0""".stripMargin,
     "s2_kb_dictionary" ->
       s"""WITH $T, $K
          |SELECT entity_id, label, prior FROM kb""".stripMargin,
