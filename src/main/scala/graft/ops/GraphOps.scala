@@ -158,8 +158,12 @@ object GraphOps {
     * once: wedge (x→y, x→z) closed by the oriented edge y→z. The degree
     * table is |V| rows (join it however AQE likes); both wedge joins
     * shuffle on node keys — no all-pairs step anywhere. */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val raw = edgesWithShortcuts(spark, dir)
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    triangleCounts(edgesWithShortcuts(spark, dir))
+
+  /** Degree-oriented triangle counting over arbitrary `(src, dst)` edges
+    * (direction, duplicates and self-loops are normalized away). */
+  def triangleCounts(raw: DataFrame): DataFrame = {
     val und = raw.select(least(col("src"), col("dst")).as("lo"),
                          greatest(col("src"), col("dst")).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct()

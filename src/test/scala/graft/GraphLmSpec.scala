@@ -113,6 +113,35 @@ class GraphLmSpec extends AnyFunSuite {
     assert(tri.values.sum == 3L * orders.length)
   }
 
+  test("triangles: degree-oriented counts match brute force on seeded random graphs") {
+    import spark.implicits._
+    // skewed random multigraphs (node ids drawn quadratically → hubs), with
+    // self-loops and duplicate/reversed edges the normalization must absorb
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 20
+      val edges = Seq.fill(n * 6) {
+        val a = (math.pow(rnd.nextDouble(), 2) * n).toInt
+        val b = rnd.nextInt(n)
+        (s"n$a", s"n$b")
+      }
+      val df = edges.toDF("src", "dst")
+      val got = GraphOps.triangleCounts(df).as[(String, Long)].collect().toMap
+      // brute force over the normalized simple graph
+      val und = edges.collect { case (a, b) if a != b =>
+        if (a < b) (a, b) else (b, a) }.toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val expect = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for {
+        i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+        (a, b, c) = (nodes(i), nodes(j), nodes(k))
+        if und((a, b)) && und((b, c)) && und((a, c))
+      } { expect(a) += 1; expect(b) += 1; expect(c) += 1 }
+      assert(got == expect.toMap, s"trial $trial: mismatch (n=$n)")
+      assert(expect.nonEmpty, s"trial $trial produced no triangles — weak test")
+    }
+  }
+
   test("shortest paths: hop distances match the raw-table chains") {
     val sp = GraphOps.shortestPaths(spark, sf).as[(String, String, Int)].collect()
       .map { case (s, n, d) => (s, n) -> d }.toMap

@@ -124,6 +124,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin"), s"expected a hash join on (user_id, bucket):\n$p")
   }
 
+  test("degree-oriented triangles: hash joins only, never nested-loop/cartesian") {
+    // the wedge join carries a non-equi term (vk ordering) ON TOP of the
+    // equi pivot key — it must plan as a hash join with the inequality as a
+    // post-join condition, and the degree/closure joins must stay equi too
+    val p = plan(graft.ops.GraphOps.triangles(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"triangle closure degraded to a product:\n$p")
+    assert(p.contains("HashJoin"), s"expected hash joins in the wedge closure:\n$p")
+  }
+
   test("as-of join plans with ZERO join operators — union + one window") {
     val p = plan(RelOps.j9AsofJoin(spark, sf))
     assert(!p.contains("Join"), s"as-of should be joinless:\n$p")
