@@ -48,6 +48,14 @@ class ParquetTableIO(val root: String) extends TableIO {
     * point inside [[commitStaged]]. Production: no-op. */
   protected def crashPoint(name: String): Unit = ()
 
+  /** `FileSystem.rename` that reports "source gone" as false instead of the
+    * FileNotFoundException some implementations (ChecksumFileSystem's copy
+    * fallback) throw — a concurrent recover() winning the same rename is a
+    * benign outcome the callers check for explicitly. */
+  private def renameQuiet(f: FileSystem, from: Path, to: Path): Boolean =
+    try f.rename(from, to)
+    catch { case _: java.io.FileNotFoundException => false }
+
   /** Finish (or roll back) a swap interrupted by a crash, so readers always
     * see a complete table. Invariant of the commit order (tmp is fully
     * written BEFORE any rename): if `dst` is missing but `._old` exists,
@@ -61,11 +69,12 @@ class ParquetTableIO(val root: String) extends TableIO {
       if (f.exists(old)) f.delete(old, true)
     } else if (f.exists(old)) {
       if (f.exists(tmp)) { // crash between the two renames: roll forward
-        if (!f.rename(tmp, dst))
+        // a concurrent recover may win the same rename — losing is fine
+        if (!renameQuiet(f, tmp, dst) && !(f.exists(dst) && !f.exists(tmp)))
           throw new java.io.IOException(s"recovery rename failed: $tmp -> $dst")
         f.delete(old, true)
       } else { // defensive: no committed tmp — roll back to the old copy
-        if (!f.rename(old, dst))
+        if (!renameQuiet(f, old, dst) && !f.exists(dst))
           throw new java.io.IOException(s"recovery rename failed: $old -> $dst")
       }
     }
@@ -98,7 +107,10 @@ class ParquetTableIO(val root: String) extends TableIO {
     if (f.exists(dst) && !f.rename(dst, old))
       throw new java.io.IOException(s"atomic rename failed: $dst -> $old")
     crashPoint("mid-swap")
-    if (!f.rename(tmp, dst))
+    // tolerate a concurrent reader's recover() having rolled this very
+    // commit forward between the two renames (its rename wins, ours fails,
+    // but the staged contents ARE the table now — not an error)
+    if (!renameQuiet(f, tmp, dst) && !(f.exists(dst) && !f.exists(tmp)))
       throw new java.io.IOException(s"atomic rename failed: $tmp -> $dst")
     crashPoint("after-swap")
     f.delete(old, true)

@@ -123,6 +123,24 @@ class CompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("a reader racing the commit mid-swap rolls it forward; the writer tolerates losing the rename") {
+    val root = Files.createTempDirectory("reader_race").toString
+    val good = new ParquetTableIO(root)
+    good.write((0 until 20).map(i => (i.toLong, "v1")).toDF("id", "v"), "t")
+    // writer whose mid-swap window is interleaved with a concurrent read:
+    // recover() sees dst missing + old/tmp present and rolls the commit
+    // forward itself — the writer's own rename then fails benignly
+    var readerSaw = -1L
+    val racing = new ParquetTableIO(root) {
+      override protected def crashPoint(name: String): Unit =
+        if (name == "mid-swap") readerSaw = good.read(spark, "t").count()
+    }
+    racing.write((0 until 35).map(i => (i.toLong, "v2")).toDF("id", "v"), "t") // must not throw
+    assert(readerSaw == 35, "racing reader should see the rolled-forward v2")
+    val rows = good.read(spark, "t").collect()
+    assert(rows.length == 35 && rows.forall(_.getString(1) == "v2"))
+  }
+
   test("a crashed compaction leaves the original table untouched") {
     for (at <- Seq("before-swap", "mid-swap")) {
       val root = Files.createTempDirectory(s"crash_compact_$at").toString
