@@ -134,14 +134,23 @@ final class SnapshotTable(val root: String, val name: String) extends Serializab
       return IndexedRead(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
         new SnapshotFileIndex(spark, location, Nil, schema))
+    val (base, index) = indexedBase(spark, m, schema)
+    IndexedRead(applyDeletes(spark, f, m, m.data, base), index)
+  }
+
+  /** A scan of `m`'s data files whose file listing is a [[SnapshotFileIndex]]
+    * — filters Catalyst pushes toward the scan prune files by manifest
+    * min/max stats at plan time (shared by [[readIndexedAt]] and the
+    * victim-finding scan of [[deleteWhere]]). */
+  private def indexedBase(spark: SparkSession, m: Manifest,
+                          schema: StructType): (DataFrame, SnapshotFileIndex) = {
     val index = new SnapshotFileIndex(spark, location, m.data, schema)
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       index, new StructType(), schema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       Map.empty[String, String])(spark)
-    val base = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .baseRelationToDataFrame(relation)
-    IndexedRead(applyDeletes(spark, f, m, m.data, base), index)
+    (spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(relation), index)
   }
 
   /** Stats-pruned range scan on one column: files whose [min,max] cannot
@@ -401,7 +410,11 @@ final class SnapshotTable(val root: String, val name: String) extends Serializab
     val m = readManifest(f, metaDir, currentSnapshot(spark).getOrElse(
       throw new IllegalStateException(s"deleteWhere on empty table $location"))).get
     val schema = StructType.fromDDL(m.schema)
-    val scan = spark.read.schema(schema).parquet(m.data.map(e => s"$location/${e.path}"): _*)
+    if (m.data.isEmpty) return (None, 0L)
+    // victim scan goes through the SnapshotFileIndex relation so `cond`
+    // (pushed below the tagging projections by Catalyst) prunes data files
+    // by manifest stats before any byte is read
+    val (scan, _) = indexedBase(spark, m, schema)
     val victims = taggedWithDeletes(spark, f, m, m.data, scan)
       .filter(cond)
       .select(col(RelCol).as(PosDelFileCol), col(PosCol).as(PosDelPosCol))
