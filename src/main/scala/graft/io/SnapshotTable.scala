@@ -68,6 +68,11 @@ import org.json4s.jackson.JsonMethods
 final class SnapshotTable(val root: String, val name: String) extends Serializable {
   import SnapshotTable._
 
+  /** Data files the last [[deleteWhere]] victim scan actually listed
+    * (manifest-stats prune observability for tests/benches; -1 before any
+    * call). */
+  @transient @volatile var lastVictimScanListed: Int = -1
+
   def location: String = s"$root/$name"
   private def metaDir = s"$location/meta"
 
@@ -414,11 +419,12 @@ final class SnapshotTable(val root: String, val name: String) extends Serializab
     // victim scan goes through the SnapshotFileIndex relation so `cond`
     // (pushed below the tagging projections by Catalyst) prunes data files
     // by manifest stats before any byte is read
-    val (scan, _) = indexedBase(spark, m, schema)
+    val (scan, index) = indexedBase(spark, m, schema)
     val victims = taggedWithDeletes(spark, f, m, m.data, scan)
       .filter(cond)
       .select(col(RelCol).as(PosDelFileCol), col(PosCol).as(PosDelPosCol))
     val staged = stage(victims, "deletes")
+    lastVictimScanListed = index.lastFilesListed
     val nRows = staged.map(_.rows).sum
     if (nRows == 0) return (None, 0L) // staged empty dir is swept by expireSnapshots
     val seq = commit(spark, "delete") { (parent, seq) =>

@@ -146,6 +146,19 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(prS.df.count() == t.read(spark).filter($"lang" === "lang_2").count())
   }
 
+  test("deleteWhere's victim scan prunes data files by manifest stats") {
+    val t = fresh("snap_delprune")
+    t.writeOverwrite(docs(0, 10000).repartitionByRange(8, col("doc_id")))
+    val (seq, n) = t.deleteWhere(spark, col("doc_id").between(2000, 2999))
+    assert(seq.isDefined && n == 1000)
+    // the pushed-down predicate reached the SnapshotFileIndex: only the
+    // files overlapping [2000, 2999] were ever opened to find victims
+    assert(t.lastVictimScanListed > 0 && t.lastVictimScanListed < 8,
+      s"victim scan listed ${t.lastVictimScanListed} of >=8 files")
+    val left = t.read(spark).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(left == ((0L until 2000L) ++ (3000L until 10000L)).toSeq)
+  }
+
   test("snapshot isolation: a torn manifest is invisible to readers and stepped over by committers") {
     val t = fresh("snap_torn")
     t.writeOverwrite(docs(0, 60)) // seq 1
