@@ -37,22 +37,31 @@ object Canonicalize {
   /** S5 projection: (subj, pred, obj) triples with provenance. Dedup is an
     * aggregation, not dropDuplicates: when two mentions on one line collapse
     * to the same triple with different conf, dropDuplicates keeps a
-    * partition-order-dependent row — max(struct) keeps the highest conf
-    * deterministically (provenance is functionally determined by subj, so
-    * the struct max resolves purely on conf). */
+    * partition-order-dependent row — max conf keeps the highest
+    * deterministically.
+    *
+    * The aggregation groups on the NATURAL key (repo, path, commit, line,
+    * pred, entity_id) and builds the subj/obj strings AFTER it: subj is a
+    * bijective encoding of (repo, path, commit, line) (provenance is
+    * functionally determined by it), so the group set is identical to
+    * grouping by (subj, pred, obj) — but max(conf) over a double is
+    * HashAggregate-eligible, where the old max(struct(conf, src_repo, ...))
+    * forced a partial SortAggregate that sorted every pre-dedup mention row
+    * by its ~100-char triple strings, and the concat runs once per OUTPUT
+    * row instead of once per input row. */
   def triples(canonical: DataFrame): DataFrame =
-    canonical.select(
-      concat(lit("code:"), col("repo"), lit("/"), col("path"),
-             lit("@"), col("commit"), lit("#L"), col("line").cast("string")).as("subj"),
-      when(col("kind") === "import", lit("imports"))
-        .when(col("kind") === "doccomment", lit("documents"))
-        .otherwise(lit("mentions")).as("pred"),
-      concat(lit("kb:"), col("entity_id").cast("string")).as("obj"),
-      col("conf"),
-      col("repo").as("src_repo"), col("path").as("src_path"), col("commit").as("src_commit"))
-      .groupBy(col("subj"), col("pred"), col("obj"))
-      .agg(max(struct(col("conf"), col("src_repo"), col("src_path"), col("src_commit"))).as("m"))
-      .select(col("subj"), col("pred"), col("obj"), col("m.conf").as("conf"),
-              col("m.src_repo").as("src_repo"), col("m.src_path").as("src_path"),
-              col("m.src_commit").as("src_commit"))
+    canonical
+      .groupBy(col("repo"), col("path"), col("commit"), col("line"),
+        when(col("kind") === "import", lit("imports"))
+          .when(col("kind") === "doccomment", lit("documents"))
+          .otherwise(lit("mentions")).as("pred"),
+        col("entity_id"))
+      .agg(max(col("conf")).as("conf"))
+      .select(
+        concat(lit("code:"), col("repo"), lit("/"), col("path"),
+               lit("@"), col("commit"), lit("#L"), col("line").cast("string")).as("subj"),
+        col("pred"),
+        concat(lit("kb:"), col("entity_id").cast("string")).as("obj"),
+        col("conf"),
+        col("repo").as("src_repo"), col("path").as("src_path"), col("commit").as("src_commit"))
 }

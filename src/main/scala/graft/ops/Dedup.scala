@@ -362,31 +362,43 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // propagate: l(v) ← min(l(v), min over neighbours u of l(u))
-      val nbrMin = edges.join(labels, col("a") === col("v"))
-        .groupBy(col("b")).agg(min(col("l")).as("nl"))
-      val prop = labels.join(nbrMin, col("v") === col("b"), "left_outer")
-        .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+      // propagate: l(v) ← min(l(v), min over neighbours u of l(u)).
+      // `prop` is BOTH sides of the pointer-jump self-join below, and the two
+      // sides shuffle on different keys (x.l vs v2), so without
+      // materialization the edges ⋈ labels propagate join — the expensive
+      // half of every round — executed twice per round. lold rides along so
+      // the round's change set is computable without a second join.
+      val prop = materialize(
+        labels.join(nbrMin(edges, labels), col("v") === col("b"), "left_outer")
+          .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"),
+                  col("l").as("lold")),
+        s"cc_prop_${i + 1}")
       // pointer jump: l(v) ← l(l(v)) — labels only ever decrease, so chasing
-      // one hop toward the minimum is always sound and doubles the reach
+      // one hop toward the minimum is always sound and doubles the reach.
+      // chg marks rows whose label decreased this round (propagate or jump):
+      // convergence is then a filter over the materialized round table —
+      // checked EVERY round for free, instead of the old separate
+      // next ⋈ labels comparison join every checkEvery rounds.
       val next = materialize(prop.as("x")
         .join(prop.select(col("v").as("v2"), col("l").as("l2")).as("y"),
               col("x.l") === col("y.v2"), "left_outer")
-        .select(col("x.v").as("v"), least(col("x.l"), coalesce(col("y.l2"), col("x.l"))).as("l")),
+        .select(col("x.v").as("v"),
+                least(col("x.l"), coalesce(col("y.l2"), col("x.l"))).as("l"),
+                col("x.lold").as("lold"))
+        .select(col("v"), col("l"), (col("l") =!= col("lold")).as("chg")),
         s"cc_round_${i + 1}")
-      // the convergence check is one driver-blocking action over the two
-      // compact label tables; checking every `checkEvery`-th round amortizes
-      // it (at most checkEvery-1 extra cheap rounds after the fixpoint)
-      if ((i + 1) % checkEvery == 0 || i + 1 == maxIters)
-        converged = next.as("n")
-          .join(labels.select(col("v").as("v0"), col("l").as("l0")), col("v") === col("v0"))
-          .filter(col("l") =!= col("l0")).isEmpty
-      labels = next
+      converged = next.filter(col("chg")).isEmpty
+      labels = next.select(col("v"), col("l"))
       i += 1
     }
     require(converged, s"connected components did not converge in $maxIters rounds")
     labels.select(col("v").as("doc_id"), col("l").as("cluster"))
   }
+
+  /** One propagate half-round: per node, the minimum neighbour label. */
+  private def nbrMin(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges.join(labels, col("a") === col("v"))
+      .groupBy(col("b")).agg(min(col("l")).as("nl"))
 
   /** Near-dup cluster collapse (the keep/drop table): every document joined
     * to its component, singletons as their own cluster; keep = 1 exactly for

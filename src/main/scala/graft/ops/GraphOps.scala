@@ -164,9 +164,14 @@ object GraphOps {
   /** Degree-oriented triangle counting over arbitrary `(src, dst)` edges
     * (direction, duplicates and self-loops are normalized away). */
   def triangleCounts(raw: DataFrame): DataFrame = {
+    // und feeds both the degree aggregation and the orientation join, and the
+    // oriented table is referenced three times (both wedge sides + the
+    // closing-edge join) — materialize each once so one plan does not
+    // recompute the dedup/orientation tower per reference (|E| rows, compact).
     val und = raw.select(least(col("src"), col("dst")).as("lo"),
                          greatest(col("src"), col("dst")).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct()
+      .localCheckpoint()
     val deg = und.select(explode(array(col("lo"), col("hi"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     // (deg, id) is a total order (ids are distinct), so orientation is
@@ -180,11 +185,17 @@ object GraphOps {
       when(kLo < kHi, col("lo")).otherwise(col("hi")).as("u"),
       when(kLo < kHi, col("hi")).otherwise(col("lo")).as("v"),
       when(kLo < kHi, kHi).otherwise(kLo).as("vk"))
+      .localCheckpoint()
+    // the checkpointed edge table carries no size statistics, so the planner
+    // would fall back to sort-merge; the wedge pivot and the closure are
+    // bounded-build hash joins by design (guide §3.1) — state it explicitly
     val wedge = or.as("e1")
-      .join(or.as("e2"), col("e1.u") === col("e2.u") && col("e1.vk") < col("e2.vk"))
+      .join(or.hint("shuffle_hash").as("e2"),
+            col("e1.u") === col("e2.u") && col("e1.vk") < col("e2.vk"))
       .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
     // closing edge y→z is oriented exactly this way because vk(b) < vk(c)
-    val tri = wedge.join(or.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+    val tri = wedge.join(or.select(col("u").as("b"), col("v").as("c")).hint("shuffle_hash"),
+                         Seq("b", "c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }

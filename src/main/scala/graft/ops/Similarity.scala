@@ -176,6 +176,15 @@ object Similarity {
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
                        s => round(s.getField("m"), 6)).as("ce"))
+        // the trained table is nCells rows: materialize it so (a) round k's
+        // assignment does not replay rounds 1..k-1 (each round's centroids
+        // appeared nested inside the next round's plan) and (b) every
+        // downstream consumer (assignment, probes, residuals, LUTs — the
+        // centroids are referenced up to 6× in one IVF-PQ plan) reuses the
+        // 16 computed rows instead of re-running the training tower.
+        // Values are unchanged: the means are rounded to 6 dp precisely so
+        // they are partition-order-independent.
+        .localCheckpoint()
     }
     cents
   }
@@ -260,6 +269,10 @@ object Similarity {
       cents = ex.join(assign, Seq("vec_id", "block"))
         .groupBy(col("block"), col("cell"), col("dim"))
         .agg(round(avg(col("x")), 6).as("cx"))
+        // same materialization rationale as kmeansCentroidsFor: the codebook
+        // is (m blocks × ksub × dsub) rows; checkpointing it stops the next
+        // round / the encoder / the LUT from replaying the training tower.
+        .localCheckpoint()
     }
     cents
   }
@@ -349,8 +362,13 @@ object Similarity {
                        iters: Int = 2, dsub: Int = 16, ksub: Int = 8,
                        pqIters: Int = 1): (DataFrame, DataFrame) = {
     val cents = kmeansCentroidsFor(emb, nCells, iters)
-    val cells = assignCells(vecsFor(emb), cents)
-    val resid = residualsFor(emb, cents, cells)
+    // cells (one row per vector) and the residual table are each consumed by
+    // several subtrees (encoder training, encoding, the codes join) — without
+    // materialization the coarse assignment's window shuffle re-runs once per
+    // consumer inside one plan (measured: the IVF-PQ query replanned the
+    // whole training tower ~4×).
+    val cells = assignCells(vecsFor(emb), cents).localCheckpoint()
+    val resid = residualsFor(emb, cents, cells).localCheckpoint()
     val cb = pqCodebookFor(resid, dsub, ksub, pqIters)
     val codes = pqCodesFor(resid, cb, dsub).join(cells, "vec_id")
 
