@@ -90,13 +90,14 @@ object Scoring {
       mentions.select(col("ctx_id"), col("ctx_terms")).dropDuplicates("ctx_id"))
 
     // The per-(ctx, term) stream feeds three consumers (the IDF aggregation,
-    // the pruned dot-product fan-out and the norm aggregation); exchange
-    // reuse shares the ctx_id shuffle between them but the explode +
-    // TermCounts projection re-executed once PER consumer (measured 3×/run,
-    // ~1.5 s each at 50k files). localCheckpoint materializes the stream
-    // once; LogicalRDD preserves the hashpartitioning(ctx_id), so the norm
-    // aggregation and the scoring join stay exchange-free exactly as before.
-    val tf = ctxTf(ctxs).localCheckpoint()
+    // the pruned dot-product fan-out and the norm aggregation). Measured at
+    // 50k files (r6): materializing it with localCheckpoint to save the
+    // per-consumer explode recompute made the stage SLOWER (top1 9.3→12.9 s)
+    // — storing the exploded string stream costs more than re-running the
+    // codegen'd TermCounts projection over the reused ctx_id exchange, and
+    // the checkpoint's missing size statistics degrade the downstream join
+    // strategy choices. Left recomputed deliberately.
+    val tf = ctxTf(ctxs)
 
     // A2: document frequency / IDF over the context corpus. tf has exactly
     // one row per (ctx, term), so df = count(*) — partial aggregation shrinks

@@ -145,12 +145,14 @@ object Dedup {
   def minhashPairsFor(docs: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame =
     pairsFromSigs(bandSignaturesFor(docs), maxBucket)
 
-  private def pairsFromSigs(sigs0: DataFrame, maxBucket: Int): DataFrame = {
+  private def pairsFromSigs(sigs0: DataFrame, maxBucket: Int,
+      bucketCounts: Option[DataFrame] = None): DataFrame = {
     val sigs =
       if (maxBucket == Int.MaxValue) sigs0
       else {
-        val small = sigs0.groupBy(col("band"), col("sig"))
-          .agg(count(lit(1)).as("bucket_n")).filter(col("bucket_n") <= maxBucket)
+        val small = bucketCounts.getOrElse(
+            sigs0.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("bucket_n")))
+          .filter(col("bucket_n") <= maxBucket)
           .select(col("band"), col("sig"))
         sigs0.join(small, Seq("band", "sig"), "left_semi")
       }
@@ -187,8 +189,12 @@ object Dedup {
     * then pairs. Same eager-measurement caveat as [[minhashPairsGuarded]]. */
   def minhashPairsGuardedFromSigs(sigs: DataFrame,
                                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val hot = sigs
-      .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("bucket_n"))
+    // ONE bucket-count aggregation serves both the guard measurement and the
+    // cap filter (it previously ran twice over the signature table); the
+    // counts table is (band, sig)-cardinality-sized and materialized.
+    val bucketCounts = sigs.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bucket_n")).localCheckpoint()
+    val hot = bucketCounts
       .filter(col("bucket_n") > maxBucket)
       .agg(count(lit(1)).as("n_excluded"), max(col("bucket_n")).as("largest"))
       .collect()(0)
@@ -197,7 +203,7 @@ object Dedup {
       println(s"[dedup] hot-bucket guard: EXCLUDED $nExcluded (band,sig) buckets " +
         s"larger than $maxBucket docs (largest=${hot.get(1)}) from near-dup pairing — " +
         "run exact dedup first, or raise maxBucket to include them")
-    pairsFromSigs(sigs, maxBucket)
+    pairsFromSigs(sigs, maxBucket, Some(bucketCounts))
   }
 
   // --- Substring/passage-level dedup -----------------------------------
@@ -308,9 +314,14 @@ object Dedup {
     ngramJaccardFor(Tables.documents(spark, dir))
 
   def ngramJaccardFor(docs: DataFrame): DataFrame = {
+    // the distinct shingle-set table is read three times (per-doc counts and
+    // both intersection sides) and the candidate pairs twice — materialize
+    // each so the shingle/minhash towers compute once per run, not per
+    // reference (the pair set is the tiny post-LSH survivor table).
     val sets = shinglesFor(docs).select(col("doc_id"), col("shingle")).distinct()
+      .localCheckpoint()
     val counts = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = minhashPairsFor(docs)
+    val pairs = minhashPairsFor(docs).localCheckpoint()
     val inter = pairs
       .join(sets.as("x"), col("d1") === col("x.doc_id"))
       .join(sets.as("y"), col("d2") === col("y.doc_id") && col("x.shingle") === col("y.shingle"))
@@ -346,19 +357,79 @@ object Dedup {
     * mid-iteration restarts from its last committed round, not from the
     * edge list. Round names are deterministic (`cc_edges`, `cc_round_N`).
     *
+    * Degree-1 peeling (measured-size gated): when the doubled edge table has
+    * at least `peelThreshold` rows, leaves (nodes with exactly one incident
+    * edge) are split off BEFORE the fixpoint — the rounds then run over the
+    * core subgraph only, and the leaves re-attach afterwards with one join
+    * plus a component-min resolution (exact: the final label is the minimum
+    * over ALL members, so a leaf can still be its component's minimum). On
+    * leaf-heavy graphs — the KG edge table is 90% degree-1 order nodes, and
+    * a near-dup pair graph is mostly isolated pairs — this shrinks every
+    * round's propagate join by the leaf fraction. Below the threshold the
+    * fixpoint is overhead-bound, so the 3 extra passes would cost more than
+    * they save (the measured-size-switch discipline of kg.Candidates).
+    *
     * Returns (doc_id, cluster) for every doc that appears in ≥1 pair;
     * cluster = the component's minimum doc_id (deterministic). */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25,
       checkEvery: Int = 2,
       materialize: (DataFrame, String) => DataFrame =
-        (df, _) => df.localCheckpoint()): DataFrame = {
+        (df, _) => df.localCheckpoint(),
+      peelThreshold: Long = 100000L): DataFrame = {
     require(checkEvery >= 1, "checkEvery must be >= 1")
     val edges = materialize(
       pairs.select(col("d1").as("a"), col("d2").as("b"))
         .union(pairs.select(col("d2").as("a"), col("d1").as("b"))), "cc_edges")
+    if (edges.count() >= peelThreshold) ccPeeled(edges, maxIters, materialize)
+    else ccFixpoint(edges, edges.select(col("a").as("v")).distinct(),
+                    maxIters, materialize)
+      .select(col("v").as("doc_id"), col("l").as("cluster"))
+  }
+
+  /** Leaf-peeled CC (see [[connectedComponents]]): fixpoint over the core
+    * subgraph, then exact leaf re-attachment + component-min resolution. */
+  private def ccPeeled(edges: DataFrame, maxIters: Int,
+      materialize: (DataFrame, String) => DataFrame): DataFrame = {
+    // multiset degree over the doubled table: the a-side covers every
+    // endpoint once per incident edge, so deg == 1 ⟺ exactly one edge
+    val deg = materialize(
+      edges.groupBy(col("a")).agg(count(lit(1)).as("deg")), "cc_deg")
+    // shuffle_hash hints throughout: the materialized tables carry no size
+    // statistics, and the hashed sides are label/degree-bounded (guide §3.1)
+    val leaves = deg.filter(col("deg") === 1).select(col("a").as("leaf"))
+    // each leaf with its single neighbour (exactly one edge row per leaf)
+    val leafEdge = edges.join(leaves.hint("shuffle_hash"), col("a") === col("leaf"), "left_semi")
+      .select(col("a").as("lv"), col("b").as("nbr"))
+    // core = edges with NEITHER endpoint a leaf; core NODES are all non-leaf
+    // nodes (an isolated core node — the middle of a 3-path — has no core
+    // edge but must still carry a label for its leaves to attach to)
+    val core = materialize(
+      edges.join(leaves.hint("shuffle_hash"), col("a") === col("leaf"), "left_anti")
+           .join(leaves.hint("shuffle_hash"), col("b") === col("leaf"), "left_anti"),
+      "cc_core_edges")
+    val coreNodes = deg.filter(col("deg") > 1).select(col("a").as("v"))
+    val coreLab = ccFixpoint(core, coreNodes, maxIters, materialize)
+    // leaf label: the neighbour's core label; a leaf whose neighbour is
+    // itself a leaf is one half of an isolated pair — label = the pair min
+    val leafPre = leafEdge
+      .join(coreLab.select(col("v").as("nbr"), col("l")).hint("shuffle_hash"),
+            Seq("nbr"), "left_outer")
+      .select(col("lv").as("v"), coalesce(col("l"), least(col("lv"), col("nbr"))).as("l"))
+    // exact component minimum over ALL members (core + leaves): every member
+    // carries its component's unique core label (or pair-min), so one
+    // min-groupBy + one join finishes the relabeling
+    val members = materialize(coreLab.unionByName(leafPre), "cc_members")
+    val rep = members.groupBy(col("l")).agg(min(col("v")).as("m"))
+    members.join(rep.hint("shuffle_hash"), "l")
+      .select(col("v").as("doc_id"), col("m").as("cluster"))
+  }
+
+  /** The min-label + pointer-jump fixpoint over `edges`, starting from
+    * identity labels on `nodes`; returns the converged (v, l) table. */
+  private def ccFixpoint(edges: DataFrame, nodes: DataFrame, maxIters: Int,
+      materialize: (DataFrame, String) => DataFrame): DataFrame = {
     var labels = materialize(
-      edges.select(col("a").as("v")).distinct()
-        .select(col("v"), col("v").as("l")), "cc_round_0")
+      nodes.select(col("v"), col("v").as("l")), "cc_round_0")
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -369,7 +440,8 @@ object Dedup {
       // half of every round — executed twice per round. lold rides along so
       // the round's change set is computable without a second join.
       val prop = materialize(
-        labels.join(nbrMin(edges, labels), col("v") === col("b"), "left_outer")
+        labels.join(nbrMin(edges, labels).hint("shuffle_hash"),
+                    col("v") === col("b"), "left_outer")
           .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"),
                   col("l").as("lold")),
         s"cc_prop_${i + 1}")
@@ -380,7 +452,7 @@ object Dedup {
       // checked EVERY round for free, instead of the old separate
       // next ⋈ labels comparison join every checkEvery rounds.
       val next = materialize(prop.as("x")
-        .join(prop.select(col("v").as("v2"), col("l").as("l2")).as("y"),
+        .join(prop.select(col("v").as("v2"), col("l").as("l2")).hint("shuffle_hash").as("y"),
               col("x.l") === col("y.v2"), "left_outer")
         .select(col("x.v").as("v"),
                 least(col("x.l"), coalesce(col("y.l2"), col("x.l"))).as("l"),
@@ -392,12 +464,15 @@ object Dedup {
       i += 1
     }
     require(converged, s"connected components did not converge in $maxIters rounds")
-    labels.select(col("v").as("doc_id"), col("l").as("cluster"))
+    labels
   }
 
-  /** One propagate half-round: per node, the minimum neighbour label. */
+  /** One propagate half-round: per node, the minimum neighbour label.
+    * The materialized round tables carry no size statistics, so the planner
+    * would default every round to sort-merge; the label side is |V| rows and
+    * hashes per partition — a shuffled hash join by design (guide §3.1). */
   private def nbrMin(edges: DataFrame, labels: DataFrame): DataFrame =
-    edges.join(labels, col("a") === col("v"))
+    edges.join(labels.hint("shuffle_hash"), col("a") === col("v"))
       .groupBy(col("b")).agg(min(col("l")).as("nl"))
 
   /** Near-dup cluster collapse (the keep/drop table): every document joined

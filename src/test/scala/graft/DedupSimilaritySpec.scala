@@ -116,6 +116,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(cc.size == 41 && cc.values.forall(_ == 0L), s"chain did not collapse: $cc")
   }
 
+  test("cluster collapse: leaf peeling is exact on every leaf shape") {
+    // a graph exercising every peel case: a chain whose ends are leaves and
+    // whose minimum IS a leaf (0-1-2), an isolated pair (10,11), a 3-path
+    // whose middle is an isolated CORE node after peeling (20-21-22), a
+    // triangle with a pendant leaf (30,31,32 + 33), and a star (40 + leaves)
+    val pairs = Seq(
+      (0L, 1L), (1L, 2L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L),
+      (30L, 31L), (31L, 32L), (30L, 32L), (32L, 33L),
+      (40L, 41L), (40L, 42L), (40L, 43L)).toDF("d1", "d2")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unpeeled = asMap(Dedup.connectedComponents(pairs))
+    val peeled = asMap(Dedup.connectedComponents(pairs, peelThreshold = 0L))
+    assert(peeled == unpeeled, s"peeled=$peeled unpeeled=$unpeeled")
+    assert(peeled(2L) == 0L && peeled(11L) == 10L && peeled(22L) == 20L &&
+           peeled(33L) == 30L && peeled(43L) == 40L)
+  }
+
   test("cluster collapse end-to-end: planted near-dups drop, all else kept") {
     val out = Dedup.clustersFor(docs, Dedup.minhashPairsGuarded(docs))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
