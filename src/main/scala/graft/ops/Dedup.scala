@@ -380,9 +380,12 @@ object Dedup {
     val edges = materialize(
       pairs.select(col("d1").as("a"), col("d2").as("b"))
         .union(pairs.select(col("d2").as("a"), col("d1").as("b"))), "cc_edges")
+    // below the gate the per-round data is job-overhead-bound: skip peeling
+    // AND the prop-table materialization (replaying the tiny propagate join
+    // twice is cheaper than an extra materialization job per round)
     if (edges.count() >= peelThreshold) ccPeeled(edges, maxIters, materialize)
     else ccFixpoint(edges, edges.select(col("a").as("v")).distinct(),
-                    maxIters, materialize)
+                    maxIters, materialize, materializeProp = false)
       .select(col("v").as("doc_id"), col("l").as("cluster"))
   }
 
@@ -425,9 +428,13 @@ object Dedup {
   }
 
   /** The min-label + pointer-jump fixpoint over `edges`, starting from
-    * identity labels on `nodes`; returns the converged (v, l) table. */
+    * identity labels on `nodes`; returns the converged (v, l) table.
+    * `materializeProp = false` leaves each round's propagate result lazy
+    * (recomputed by both pointer-jump sides) — right for tiny graphs where
+    * a materialization job costs more than the duplicated join. */
   private def ccFixpoint(edges: DataFrame, nodes: DataFrame, maxIters: Int,
-      materialize: (DataFrame, String) => DataFrame): DataFrame = {
+      materialize: (DataFrame, String) => DataFrame,
+      materializeProp: Boolean = true): DataFrame = {
     var labels = materialize(
       nodes.select(col("v"), col("v").as("l")), "cc_round_0")
     var converged = false
@@ -439,12 +446,11 @@ object Dedup {
       // materialization the edges ⋈ labels propagate join — the expensive
       // half of every round — executed twice per round. lold rides along so
       // the round's change set is computable without a second join.
-      val prop = materialize(
-        labels.join(nbrMin(edges, labels).hint("shuffle_hash"),
+      val prop0 = labels.join(nbrMin(edges, labels).hint("shuffle_hash"),
                     col("v") === col("b"), "left_outer")
           .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"),
-                  col("l").as("lold")),
-        s"cc_prop_${i + 1}")
+                  col("l").as("lold"))
+      val prop = if (materializeProp) materialize(prop0, s"cc_prop_${i + 1}") else prop0
       // pointer jump: l(v) ← l(l(v)) — labels only ever decrease, so chasing
       // one hop toward the minimum is always sound and doubles the reach.
       // chg marks rows whose label decreased this round (propagate or jump):
