@@ -177,7 +177,12 @@ object Scoring {
               (col("dot") / (col("m_norm") * col("e_norm"))).as("cos"))
 
     // fan the context-level cosines back out to mentions; W3 fallback to the
-    // scaled lookup prior where the context shares no term with the entity
+    // scaled lookup prior where the context shares no term with the entity.
+    // (r6 measured: pre-repartitioning pairs by ctx_id alone to co-partition
+    // with the cosine stream did NOT help — Spark 4 requires all cluster
+    // keys for co-partitioning by default, so the join re-exchanges both
+    // sides on (ctx_id, entity_id) regardless and the extra repartition is
+    // pure cost. Left as the plain join.)
     pairs.join(cosine, Seq("ctx_id", "entity_id"), "left_outer")
       .select(col("mention_id"), col("entity_id"),
               coalesce(col("cos"), col("prior") * 1e-9).as("score"))
