@@ -104,12 +104,23 @@ object Scoring {
     // each partition to vocabulary size before the (cheap) exchange; the HLL
     // variant sketches instead of counting when even that is too wide.
     val idf = idfOverride.getOrElse {
-      val nCtx = ctxs.agg(count(lit(1)).as("n"))
       val df =
         if (approxIdf) tf.groupBy(col("term")).agg(approx_count_distinct(col("ctx_id")).as("df"))
         else tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      df.crossJoin(broadcast(nCtx))
-        .select(col("term"), (log((col("n") + 1).cast("double") / (col("df") + 1)) + 1.0).as("idf"))
+      // context count: when the caller passes a checkpointed contexts table
+      // (the pipeline path) count() is a parquet-metadata read — the (n+1)
+      // numerator becomes a literal, dropping the separate aggregation pass
+      // over the context stream AND its BroadcastNestedLoopJoin wrapper.
+      // Without a contexts frame (operator/test path) keep the lazy agg.
+      contexts match {
+        case Some(c) =>
+          val n = c.count()
+          df.select(col("term"), (log(lit((n + 1).toDouble) / (col("df") + 1)) + 1.0).as("idf"))
+        case None =>
+          val nCtx = ctxs.agg(count(lit(1)).as("n"))
+          df.crossJoin(broadcast(nCtx))
+            .select(col("term"), (log((col("n") + 1).cast("double") / (col("df") + 1)) + 1.0).as("idf"))
+      }
     }
 
     // idf is vocabulary-sized → AQE broadcasts it; wM stays partitioned by ctx_id
