@@ -147,15 +147,19 @@ object Similarity {
     * cosine top-k within the probed cells.
     */
   /** Assign every vector to its max-cosine centroid (rounded affinity,
-    * cell-asc tie-break — deterministic across engines/partitionings). */
-  private def assignCells(v: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("aff").desc, col("cell").asc)
+    * cell-asc tie-break — deterministic across engines/partitionings).
+    * Implemented as max over a struct with the tie-break key (max aff,
+    * ties toward the smaller cell ≡ row_number over (aff desc, cell asc))
+    * — a two-phase aggregation with map-side combine over the nCells
+    * rows/vector, instead of a Window that shuffles and sorts the whole
+    * (vector × centroid) affinity stream (the Scoring.top1 discipline). */
+  private def assignCells(v: DataFrame, cents: DataFrame): DataFrame =
     v.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("cell"),
         round(dot(col("e"), col("ce")) / (l2(col("e")) * l2(col("ce"))), 9).as("aff"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("aff"), (-col("cell")).as("nc"), col("cell").as("c"))).as("m"))
+      .select(col("vec_id"), col("m.c").as("cell"))
 
   /** Deterministic seeded k-means, fixed Lloyd rounds, DataFrame-only: seeds
     * are the first `nCells` vectors; each round reassigns (max cosine) and
@@ -245,13 +249,13 @@ object Similarity {
       .groupBy(col("vec_id"), col("block"), col("cell"))
       .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 9).as("d2"))
 
-  /** Nearest centroid per (vector, block), smaller cell on ties. */
-  private def argminCell(d2: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("block"))
-      .orderBy(col("d2").asc, col("cell").asc)
-    d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("block"), col("cell"))
-  }
+  /** Nearest centroid per (vector, block), smaller cell on ties.
+    * min over struct(d2, cell) ≡ row_number over (d2 asc, cell asc) — same
+    * aggregation-instead-of-Window rationale as [[assignCells]]. */
+  private def argminCell(d2: DataFrame): DataFrame =
+    d2.groupBy(col("vec_id"), col("block"))
+      .agg(min(struct(col("d2"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("block"), col("m.cell").as("cell"))
 
   /** Per-block codebooks: seeds are the first `ksub` vectors' subvectors;
     * each Lloyd round reassigns (min rounded L2, cell-asc ties) and
