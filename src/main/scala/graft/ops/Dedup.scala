@@ -86,7 +86,15 @@ object Dedup {
     minhashSignaturesFor(Tables.documents(spark, dir))
 
   def minhashSignaturesFor(docs: DataFrame): DataFrame =
-    shinglesFor(docs)
+    minhashSignaturesFromShingles(shinglesFor(docs))
+
+  /** Signatures from any (doc_id, shingle) stream. MinHash minima are
+    * duplicate-invariant (the min over a multiset equals the min over its
+    * distinct set), so a caller that already holds a materialized distinct
+    * shingle table ([[ngramJaccardFor]]) derives signatures from it instead
+    * of re-scanning and re-shingling the corpus a second time. */
+  private[graft] def minhashSignaturesFromShingles(sh: DataFrame): DataFrame =
+    sh
       .withColumn("seed", explode(sequence(lit(0), lit(7))))
       .groupBy(col("doc_id"), col("seed"))
       .agg(min(md5(concat(col("shingle"), lit("#"), col("seed").cast("string")))).as("minhash"))
@@ -114,7 +122,13 @@ object Dedup {
     * so pipelines can checkpoint/compose the signature table (delta mode
     * recomputes signatures for CHANGED docs only and composes the rest). */
   def bandSignaturesFor(docs: DataFrame): DataFrame =
-    minhashSignaturesFor(docs)
+    bandSignaturesFromShingles(shinglesFor(docs))
+
+  /** Band signatures from a (doc_id, shingle) stream — see
+    * [[minhashSignaturesFromShingles]] for the duplicate-invariance that
+    * makes a distinct shingle table an equivalent input. */
+  private[graft] def bandSignaturesFromShingles(sh: DataFrame): DataFrame =
+    minhashSignaturesFromShingles(sh)
       .withColumn("band", shiftright(col("seed"), 1))
       .groupBy(col("doc_id"), col("band"))
       .agg(concat_ws("|",
@@ -321,7 +335,13 @@ object Dedup {
     val sets = shinglesFor(docs).select(col("doc_id"), col("shingle")).distinct()
       .localCheckpoint()
     val counts = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = minhashPairsFor(docs).localCheckpoint()
+    // LSH candidates from the SAME materialized shingle table: minhash
+    // minima are duplicate-invariant, so signatures over the distinct sets
+    // are identical to minhashPairsFor(docs) — without scanning and
+    // shingling the corpus a second time (equivalence property-tested in
+    // DedupSimilaritySpec; at 100 TB this halves the stage's corpus passes).
+    val pairs = pairsFromSigs(bandSignaturesFromShingles(sets), Int.MaxValue)
+      .localCheckpoint()
     val inter = pairs
       .join(sets.as("x"), col("d1") === col("x.doc_id"))
       .join(sets.as("y"), col("d2") === col("y.doc_id") && col("x.shingle") === col("y.shingle"))

@@ -42,6 +42,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Dedup.shinglesFor(Seq((2L, "one two")).toDF("doc_id", "text")).count() == 0)
   }
 
+  test("band signatures from distinct shingles equal the from-docs form") {
+    // the `docs` corpus repeats words inside each sentence, so its shingle
+    // multiset has real duplicates — min-over-distinct must still match
+    val fromDocs = Dedup.bandSignaturesFor(docs)
+      .as[(Long, Int, String)].collect().toSet
+    val distinctSets = Dedup.shinglesFor(docs)
+      .select(col("doc_id"), col("shingle")).distinct()
+    val fromSets = Dedup.bandSignaturesFromShingles(distinctSets)
+      .as[(Long, Int, String)].collect().toSet
+    assert(fromDocs == fromSets)
+    assert(fromDocs.nonEmpty)
+  }
+
   test("LSH→Jaccard funnel: every planted near-dup pair survives") {
     val expected = Set((0L, 100L), (1L, 101L), (2L, 102L))
     val pairs = Dedup.minhashPairsFor(docs)
